@@ -1,0 +1,93 @@
+"""High-level minimizer sketching (indexlr-equivalent).
+
+Produces per-sequence `Minimizers` (see ops.nthash_np) through a pluggable
+backend and renders the reference toolchain's sketch TSV dialects
+(reference ntLink:198-199, 221-225, 243-244):
+
+- contigs:  ``name\\thash:pos:strand ...``
+- reads:    ``name\\tlen\\thash:pos:strand ...``  (``with_len=True``)
+- overlap:  ``name\\thash:pos ...``               (``with_strand=False``)
+"""
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+from .ops import nthash_np
+from .ops.nthash_np import Minimizers
+from .seqio import stream_fastx
+
+
+def get_backend(name: str = "auto"):
+    """Resolve a sketching backend by name ("numpy", "jax", "auto")."""
+    if name == "numpy":
+        return None
+    try:
+        from .ops import sketch_jax  # noqa: PLC0415
+
+        return sketch_jax.JaxSketcher()
+    except Exception:  # pragma: no cover - jax unavailable
+        if name == "jax":
+            raise
+        return None
+
+
+def sketch_sequences(
+    named_seqs: Iterable[Tuple[str, str]],
+    k: int,
+    w: int,
+    backend=None,
+) -> Iterator[Tuple[str, int, Minimizers]]:
+    """Yield (name, seq_len, Minimizers) per input sequence."""
+    if backend is None:
+        for name, seq in named_seqs:
+            yield name, len(seq), nthash_np.sketch_sequence(seq, k, w)
+    else:
+        yield from backend.sketch_stream(named_seqs, k, w)
+
+
+def format_minimizers(mins: Minimizers, with_strand: bool = True) -> str:
+    if with_strand:
+        return " ".join(
+            f"{h}:{p}:{'+' if f else '-'}"
+            for h, p, f in zip(mins.hashes, mins.positions, mins.forward)
+        )
+    return " ".join(f"{h}:{p}" for h, p in zip(mins.hashes, mins.positions))
+
+
+def write_sketch_tsv(
+    out_fh,
+    named_seqs: Iterable[Tuple[str, str]],
+    k: int,
+    w: int,
+    with_strand: bool = True,
+    with_len: bool = False,
+    backend=None,
+) -> None:
+    """Stream sequences through the sketcher, writing indexlr-style TSV."""
+    for name, seq_len, mins in sketch_sequences(named_seqs, k, w, backend=backend):
+        body = format_minimizers(mins, with_strand=with_strand)
+        if with_len:
+            out_fh.write(f"{name}\t{seq_len}\t{body}\n")
+        else:
+            out_fh.write(f"{name}\t{body}\n")
+
+
+def sketch_fasta_to_tsv(
+    fasta_path: str,
+    out_path: str,
+    k: int,
+    w: int,
+    with_strand: bool = True,
+    with_len: bool = False,
+    backend=None,
+) -> None:
+    with open(out_path, "w") as out_fh:
+        write_sketch_tsv(
+            out_fh,
+            ((rec.name, rec.seq) for rec in stream_fastx(fasta_path)),
+            k,
+            w,
+            with_strand=with_strand,
+            with_len=with_len,
+            backend=backend,
+        )

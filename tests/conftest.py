@@ -1,0 +1,15 @@
+"""Test environment: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before any jax import (session-scoped env setup)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REFERENCE_DIR = "/root/reference"
+GOLDEN_DIR = os.path.join(REFERENCE_DIR, "tests", "expected_outputs")
+REF_TESTS_DIR = os.path.join(REFERENCE_DIR, "tests")
