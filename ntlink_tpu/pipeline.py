@@ -1,0 +1,168 @@
+"""Pipeline stage drivers.
+
+Replaces the reference's Make DAG (reference ntLink:151-271) with in-process
+stages sharing one artifact contract: every stage writes the same files, with
+the same names and formats, that the reference pipeline produces, and existing
+up-to-date artifacts short-circuit their stage (Make-style incrementalism).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from .config import ScaffoldConfig
+from .graphio import graph_from_tally, largest_ntlink_id, write_dot
+from .index import ContigIndex
+from .mapping import AnchorHit, apply_repeat_filter, chain_read_hits
+from .pairs import PairTally, tally_from_checkpoint
+from .paf import paf_lines
+from .seqio import stream_fastx
+from .sketch import get_backend, sketch_fasta_to_tsv, sketch_sequences
+
+
+def log(*parts) -> None:
+    print(time.strftime("%Y-%m-%d %H:%M:%S"), "-", *parts, file=sys.stdout, flush=True)
+
+
+def _is_fresh(output: str, *inputs: str) -> bool:
+    """True if `output` exists and is newer than every input (Make semantics)."""
+    if not os.path.exists(output):
+        return False
+    out_mtime = os.path.getmtime(output)
+    return all(
+        os.path.exists(i) and os.path.getmtime(i) <= out_mtime for i in inputs
+    )
+
+
+def ensure_contig_sketch_tsv(cfg: ScaffoldConfig, k: int, w: int, with_strand=True) -> str:
+    """Sketch the target assembly to the reference's TSV artifact."""
+    out = f"{cfg.target}.k{k}.w{w}.tsv"
+    if _is_fresh(out, cfg.target):
+        log("Reusing sketch", out)
+        return out
+    log("Sketching", cfg.target, f"(k={k}, w={w})")
+    backend = get_backend(cfg.backend)
+    sketch_fasta_to_tsv(cfg.target, out, k, w, with_strand=with_strand, backend=backend)
+    return out
+
+
+def read_scaffold_lengths(path: str) -> Dict[str, int]:
+    return {rec.name: len(rec.seq) for rec in stream_fastx(path)}
+
+
+def map_reads(
+    cfg: ScaffoldConfig,
+    index: ContigIndex,
+    contig_lengths: Dict[str, int],
+    verbose_path: Optional[str],
+    paf_path: Optional[str],
+) -> PairTally:
+    """Stream read files through sketch → match → chain → tally."""
+    tally = PairTally(contig_lengths, cfg.k, cfg.f)
+    verbose_fh = open(verbose_path, "w") if verbose_path else None
+    paf_fh = open(paf_path, "w") if paf_path else None
+    backend = get_backend(cfg.backend)
+    n_reads = 0
+    try:
+        for reads_file in cfg.reads:
+            log("Mapping reads", reads_file)
+            records = (
+                (rec.name, rec.seq) for rec in stream_fastx(reads_file)
+            )
+            for name, read_len, mins in sketch_sequences(
+                records, cfg.k, cfg.w, backend=backend
+            ):
+                n_reads += 1
+                mask = index.member_mask(mins.hashes)
+                if not mask.any():
+                    continue
+                mxs = [
+                    (int(h), int(p), "+" if f else "-")
+                    for h, p, f in zip(
+                        mins.hashes[mask], mins.positions[mask], mins.forward[mask]
+                    )
+                ]
+                if cfg.repeats:
+                    mxs = apply_repeat_filter(mxs)
+                if not mxs:
+                    continue
+                hits = []
+                for mx, pos, strand in mxs:
+                    entry = index.get(mx)
+                    hits.append(
+                        (
+                            entry.contig,
+                            AnchorHit(mx, entry.position, entry.strand, pos, strand),
+                        )
+                    )
+                runs = chain_read_hits(
+                    hits,
+                    read_len,
+                    contig_lengths,
+                    cfg.k,
+                    cfg.z,
+                    x=cfg.x,
+                    sensitive=cfg.sensitive,
+                )
+                if not runs:
+                    continue
+                if verbose_fh:
+                    for run in runs:
+                        verbose_fh.write(
+                            f"{name}\t{run.contig}\t{run.hit_count}\t{run.hits_string()}\n"
+                        )
+                if paf_fh:
+                    for line in paf_lines(runs, name, read_len, contig_lengths, cfg.k):
+                        paf_fh.write(line + "\n")
+                tally.add_read(runs, read_len)
+    except Exception:
+        # mirror the reference's partial-output cleanup (ntlink_pair.py:608-613)
+        for fh, path in ((verbose_fh, verbose_path), (paf_fh, paf_path)):
+            if fh:
+                fh.close()
+                os.unlink(path)
+        raise
+    finally:
+        for fh in (verbose_fh, paf_fh):
+            if fh and not fh.closed:
+                fh.close()
+    log("Mapped", n_reads, "reads")
+    return tally
+
+
+def pair_stage(cfg: ScaffoldConfig) -> str:
+    """Mapping + scaffold-graph stage. Returns the DOT artifact path."""
+    prefix = cfg.resolved_prefix()
+    dot_path = f"{prefix}.n{cfg.n}.scaffold.dot"
+    checkpoint = f"{prefix}.verbose_mapping.tsv"
+
+    contig_lengths = read_scaffold_lengths(cfg.target)
+
+    if os.path.exists(checkpoint) and _is_fresh(checkpoint, cfg.target):
+        log("Found mapping checkpoint", checkpoint, "- bypassing read mapping")
+        tally = tally_from_checkpoint(checkpoint, contig_lengths, cfg.k, cfg.f)
+    else:
+        tsv = ensure_contig_sketch_tsv(cfg, cfg.k, cfg.w)
+        log("Loading contig index", tsv)
+        index = ContigIndex.from_tsv(tsv)
+        log("Index size:", len(index))
+        tally = map_reads(
+            cfg,
+            index,
+            contig_lengths,
+            verbose_path=checkpoint if cfg.verbose else None,
+            paf_path=f"{prefix}.paf" if cfg.paf else None,
+        )
+
+    tally.filter_distances()
+    tally.filter_weak_anchors(cfg.a)
+    if cfg.pairs_tsv:
+        tally.write_pairs_tsv(f"{prefix}.pairs.tsv")
+
+    graph = graph_from_tally(tally, contig_lengths)
+    graph = graph.filtered_by_weight(int(cfg.n))
+    write_dot(graph, dot_path, largest_ntlink_id(contig_lengths.keys()))
+    log("Wrote scaffold graph", dot_path)
+    return dot_path
