@@ -1,0 +1,190 @@
+"""Scaffold layout engine — replaces external ABySS `abyss-scaffold`.
+
+Given the scaffold graph (doubled reverse-complement-closed digraph with gap
+estimates `d` and support `n`), lay out linear scaffold paths:
+
+1. drop edges with support below the weight threshold,
+2. remove transitive edges (an edge u->w bypassed by a longer u..w path):
+   these arise from the pair tally's full transitive edge addition
+   (reference ntlink_pair.py:416-435) and must not break unambiguous chains,
+3. assemble maximal unambiguous chains (every link u->v with out_degree(u)==1
+   and in_degree(v)==1),
+4. deduplicate reverse-complement twins,
+5. render the path file with the abyss-scaffold gap convention:
+   gap = max(d, min_gap) + 1,
+6. emit an n-sweep N50 table (abyss-fac format) used for optimal-n selection.
+
+The contract (path-file grammar, +1 gap bias, stderr table consumed by the
+stitch stage) is reverse-engineered from the reference pipeline's goldens;
+see DESIGN.md and PARITY.md.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from .graphio import ScaffoldGraph
+from .stats import FAC_HEADER, fac_row
+
+MAX_TRANSITIVE_HOPS = 16
+
+
+def flip_node(name: str) -> str:
+    return name[:-1] + ("-" if name.endswith("+") else "+")
+
+
+def _has_alternate_path(
+    g: ScaffoldGraph, source: str, target: str, max_hops: int = MAX_TRANSITIVE_HOPS
+) -> bool:
+    """True if target is reachable from source without the direct edge."""
+    frontier = [
+        (v, 1) for v in g.successors(source) if v != target
+    ]
+    seen = {source}
+    while frontier:
+        node, depth = frontier.pop()
+        if node == target:
+            return True
+        if depth >= max_hops or node in seen:
+            continue
+        seen.add(node)
+        for nxt in g.successors(node):
+            if nxt == target:
+                return True
+            frontier.append((nxt, depth + 1))
+    return False
+
+
+def remove_transitive_edges(g: ScaffoldGraph) -> ScaffoldGraph:
+    """Remove every edge bypassed by an alternative directed path."""
+    out = g.copy()
+    for s, t, _ in list(g.edges()):
+        if _has_alternate_path(out, s, t):
+            out.remove_edge(s, t)
+    return out
+
+
+@dataclass
+class LayoutPath:
+    nodes: List[str]            # oriented contig names
+    gaps: List[int]             # len(nodes)-1 path-file gap values (+1 biased)
+
+    def render(self) -> str:
+        parts = [self.nodes[0]]
+        for gap, node in zip(self.gaps, self.nodes[1:]):
+            parts.append(f"{gap}N")
+            parts.append(node)
+        return " ".join(parts)
+
+
+def assemble_paths(
+    g: ScaffoldGraph, min_gap: int
+) -> List[LayoutPath]:
+    """Extract maximal unambiguous chains, one per reverse-complement pair."""
+    def linked(u: str, v: str) -> bool:
+        return g.out_degree(u) == 1 and g.in_degree(v) == 1
+
+    paths = []
+    used = set()
+    for start in g.nodes():
+        if start in used:
+            continue
+        # chain start: no unambiguous incoming link
+        preds = list(g.predecessors(start))
+        if len(preds) == 1 and linked(preds[0], start):
+            continue
+        chain = [start]
+        node = start
+        while True:
+            succs = list(g.successors(node))
+            if len(succs) == 1 and linked(node, succs[0]) and succs[0] not in used:
+                nxt = succs[0]
+                if nxt in chain:  # cycle guard
+                    break
+                chain.append(nxt)
+                node = nxt
+            else:
+                break
+        if len(chain) < 2:
+            continue
+        for n in chain:
+            used.add(n)
+            used.add(flip_node(n))
+        gaps = [
+            max(g.edge(u, v).d, min_gap) + 1 for u, v in zip(chain, chain[1:])
+        ]
+        paths.append(LayoutPath(chain, gaps))
+    return paths
+
+
+@dataclass
+class LayoutResult:
+    paths: List[LayoutPath]
+    placed: set                   # unoriented contig names inside paths
+
+    def scaffold_lengths(self, contig_lengths: Dict[str, int]) -> List[int]:
+        """Layout lengths with the abyss-fac metric (gaps excluded)."""
+        lengths = [
+            sum(contig_lengths[n[:-1]] for n in p.nodes) for p in self.paths
+        ]
+        for contig, length in contig_lengths.items():
+            if contig not in self.placed:
+                lengths.append(length)
+        return lengths
+
+
+def layout(
+    graph: ScaffoldGraph,
+    contig_lengths: Dict[str, int],
+    min_weight: int,
+    seed_length: int,
+    min_gap: int,
+) -> LayoutResult:
+    g = graph.filtered_by_weight(min_weight)
+    # drop short-seed vertices (abyss-scaffold -s)
+    for node in list(g.nodes()):
+        if g.node_lengths.get(node, 0) < seed_length:
+            for t in list(g.successors(node)):
+                g.remove_edge(node, t)
+            for s in list(g.predecessors(node)):
+                g.remove_edge(s, node)
+    g = remove_transitive_edges(g)
+    paths = assemble_paths(g, min_gap)
+    placed = {n[:-1] for p in paths for n in p.nodes}
+    return LayoutResult(paths, placed)
+
+
+def run_n_sweep(
+    graph: ScaffoldGraph,
+    contig_lengths: Dict[str, int],
+    n_min: int,
+    n_max: int,
+    seed_length: int,
+    min_gap: int,
+    prefix: str,
+) -> List[str]:
+    """Write `<prefix>.n{i}.abyss-scaffold.path` (+ `.sterr` N50 table) for
+    every weight threshold in [n_min, n_max]; returns the path filenames.
+
+    Mirrors the reference's sweep artifacts (ntLink:156-158, 228-231); the
+    sweep is embarrassingly parallel but each layout is tiny host work.
+    """
+    out_files = []
+    for n in range(n_min, n_max + 1):
+        result = layout(graph, contig_lengths, n, seed_length, min_gap)
+        path_file = f"{prefix}.n{n}.abyss-scaffold.path"
+        with open(path_file, "w") as fh:
+            for i, p in enumerate(result.paths):
+                fh.write(f"{i}\t{p.render()}\n")
+        with open(path_file + ".sterr", "w") as fh:
+            fh.write(FAC_HEADER + "\n")
+            fh.write(
+                fac_row(
+                    result.scaffold_lengths(contig_lengths),
+                    f"n={n} s={seed_length}",
+                )
+                + "\n"
+            )
+        out_files.append(path_file)
+    return out_files

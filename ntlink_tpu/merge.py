@@ -1,0 +1,49 @@
+"""Scaffold FASTA renderer — replaces external ABySS `MergeContigs -k2`.
+
+Contract (verified on the reference goldens): for each path line, concatenate
+the oriented contig sequences with a gap token ``gN`` contributing ``g-1``
+N characters (the k=2 path convention: one base of notional overlap per
+join); header is ``>{path_id} {sequence_length} 0 {comma-joined path}``.
+Input sequences that appear in no path are passed through unchanged as
+``>{name} {length}``.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Tuple
+
+from .pathio import gap_size, is_gap, read_path_file
+from .seqio import reverse_complement, stream_fastx
+
+
+def render_path_sequence(tokens: List[str], sequences: Dict[str, str]) -> str:
+    parts = []
+    for token in tokens:
+        if is_gap(token):
+            parts.append("N" * (gap_size(token) - 1))
+        else:
+            name, ori = token[:-1], token[-1]
+            seq = sequences[name]
+            parts.append(reverse_complement(seq) if ori == "-" else seq)
+    return "".join(parts)
+
+
+def merge_contigs(
+    fasta_path: str, path_file: str, out_path: str
+) -> None:
+    sequences = {rec.name: rec.seq for rec in stream_fastx(fasta_path)}
+    used = set()
+    with open(out_path, "w") as out:
+        for path_id, tokens in read_path_file(path_file):
+            seq = render_path_sequence(tokens, sequences)
+            # paths longer than 3 tokens are abbreviated "first,...,last"
+            if len(tokens) > 3:
+                pretty = f"{tokens[0]},...,{tokens[-1]}"
+            else:
+                pretty = ",".join(tokens)
+            out.write(f">{path_id} {len(seq)} 0 {pretty}\n{seq}\n")
+            for token in tokens:
+                if not is_gap(token):
+                    used.add(token[:-1])
+        for name, seq in sequences.items():
+            if name not in used:
+                out.write(f">{name} {len(seq)}\n{seq}\n")

@@ -166,3 +166,60 @@ def pair_stage(cfg: ScaffoldConfig) -> str:
     write_dot(graph, dot_path, largest_ntlink_id(contig_lengths.keys()))
     log("Wrote scaffold graph", dot_path)
     return dot_path
+
+
+def layout_and_stitch(cfg: ScaffoldConfig, dot_path: str) -> str:
+    """n-sweep layout + optimal-n stitch. Returns the stitch path file."""
+    from .graphio import read_dot
+    from .layout import run_n_sweep
+    from .stitch import stitch
+
+    prefix = cfg.resolved_prefix()
+    stitch_path = f"{prefix}.stitch.path"
+    graph = read_dot(dot_path)
+    contig_lengths = read_scaffold_lengths(cfg.target)
+    log("Layout n-sweep", f"n={cfg.n}..{cfg.max_n}")
+    sweep_files = run_n_sweep(
+        graph, contig_lengths, cfg.n, cfg.max_n, cfg.z, cfg.g, prefix
+    )
+    stitch(
+        sweep_files,
+        graph,
+        stitch_path,
+        max_gap=cfg.G,
+        conservative=cfg.conservative,
+    )
+    for f in sweep_files:
+        os.unlink(f)
+        os.unlink(f + ".sterr")
+    log("Wrote stitched paths", stitch_path)
+    return stitch_path
+
+
+def scaffold_stage(cfg: ScaffoldConfig) -> str:
+    """Full scaffold flow: pair -> layout/stitch -> [overlap trim] -> merge.
+
+    Returns the final scaffolds FASTA path (reference ntLink:151-171).
+    """
+    from .merge import merge_contigs
+
+    prefix = cfg.resolved_prefix()
+    dot_path = pair_stage(cfg)
+    stitch_path = layout_and_stitch(cfg, dot_path)
+
+    merged = f"{cfg.target}.k{cfg.k}.w{cfg.w}.z{cfg.z}.stitch.abyss-scaffold.fa"
+    if cfg.overlap:
+        from .overlap import overlap_stage
+
+        trimmed_fa = overlap_stage(cfg, dot_path, stitch_path)
+        merge_contigs(trimmed_fa, f"{prefix}.trimmed_scafs.path", merged)
+    else:
+        merge_contigs(cfg.target, stitch_path, merged)
+    log("Wrote merged scaffolds", merged)
+
+    final = cfg.out_scaffolds()
+    if os.path.islink(final) or os.path.exists(final):
+        os.unlink(final)
+    os.symlink(os.path.basename(merged), final)
+    log("Done! Final post-ntLink scaffolds in:", final)
+    return final
