@@ -17,13 +17,20 @@ from .seqio import reverse_complement, stream_fastx
 
 def render_path_sequence(tokens: List[str], sequences: Dict[str, str]) -> str:
     parts = []
+    overlap_join = False  # a 0-size gap soft-masks the next contig's 1st base
     for token in tokens:
         if is_gap(token):
-            parts.append("N" * (gap_size(token) - 1))
+            n = gap_size(token) - 1
+            parts.append("N" * n)
+            overlap_join = n == 0
         else:
             name, ori = token[:-1], token[-1]
             seq = sequences[name]
-            parts.append(reverse_complement(seq) if ori == "-" else seq)
+            seq = reverse_complement(seq) if ori == "-" else seq
+            if overlap_join and seq:
+                seq = seq[0].lower() + seq[1:]
+                overlap_join = False
+            parts.append(seq)
     return "".join(parts)
 
 
