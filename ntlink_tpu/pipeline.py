@@ -223,3 +223,27 @@ def scaffold_stage(cfg: ScaffoldConfig) -> str:
     os.symlink(os.path.basename(merged), final)
     log("Done! Final post-ntLink scaffolds in:", final)
     return final
+
+
+def gap_fill_stage(cfg: ScaffoldConfig) -> str:
+    """Gap-fill the trimmed layout; re-points the final scaffolds symlink
+    at the gap-filled FASTA (reference ntLink:266-271)."""
+    from .gapfill import gap_fill_stage as run_gap_fill
+
+    out = run_gap_fill(cfg)
+    final = cfg.out_scaffolds()
+    if os.path.islink(final) or os.path.exists(final):
+        os.unlink(final)
+    os.symlink(os.path.basename(out), final)
+    log("Done! Final post-ntLink and gap-filled scaffolds in:", final)
+    return out
+
+
+def run_scaffold(cfg: ScaffoldConfig, gap_fill: bool = False) -> str:
+    """`ntlink scaffold [gap_fill]` entry point."""
+    final = scaffold_stage(cfg)
+    if gap_fill:
+        if not cfg.overlap:
+            raise ValueError("gap_fill requires the overlap trim stage")
+        return gap_fill_stage(cfg)
+    return final
