@@ -1,0 +1,156 @@
+"""AGP-based mapping liftover for iterative rounds.
+
+Behavioral contract: reference ntlink_liftover_mappings.py. Every verbose
+mapping row is re-expressed in the coordinate system of the new scaffolds
+using the round's AGP; out-of-range anchors are dropped, runs landing on the
+same new scaffold are merged (with nested runs subsumed), and non-monotonic
+concatenations are discarded. The output is the next round's mapping
+checkpoint (consumed by the pair stage's checkpoint path).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from .mapping import AnchorHit, parse_hits_string
+
+
+@dataclass
+class AgpComponent:
+    path_id: str
+    scaf_start: int
+    scaf_end: int
+    contig: str
+    orientation: str
+    ctg_start: int
+    ctg_end: int
+
+    @property
+    def ctg_length(self) -> int:
+        return self.ctg_end - self.ctg_start + 1
+
+
+def read_agp_components(agp_path: str) -> Dict[str, AgpComponent]:
+    """contig -> placement, skipping gap (N) and patch-read (P) rows."""
+    components: Dict[str, AgpComponent] = {}
+    with open(agp_path) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            path_id, scaf_start, scaf_end, _, ctype, ctg, c_start, c_end, ori = f
+            if ctype in ("N", "P"):
+                continue
+            components[ctg] = AgpComponent(
+                path_id, int(scaf_start), int(scaf_end), ctg, ori,
+                int(c_start), int(c_end),
+            )
+    return components
+
+
+def _flip(strand: str) -> str:
+    return "-" if strand == "+" else "+"
+
+
+@dataclass
+class LiftedRow:
+    read_id: str
+    new_ctg: str
+    hits: List[AnchorHit]
+
+
+def lift_row(
+    read_id: str, ctg: str, hits_text: str,
+    agp: Dict[str, AgpComponent], k: int,
+) -> LiftedRow:
+    if ctg not in agp:
+        return LiftedRow(read_id, ctg, [])
+    comp = agp[ctg]
+    lifted: List[AnchorHit] = []
+    for h in parse_hits_string(hits_text):
+        if not comp.ctg_start - 1 <= h.ctg_pos <= comp.ctg_end - k:
+            continue  # anchor outside the placed contig slice
+        local = h.ctg_pos - (comp.ctg_start - 1)
+        offset = comp.scaf_start - 1
+        if comp.orientation == "+" and comp.path_id != ctg:
+            lifted.append(
+                AnchorHit(0, offset + local, h.ctg_strand, h.read_pos, h.read_strand)
+            )
+        elif comp.orientation == "-" and comp.path_id != ctg:
+            lifted.append(
+                AnchorHit(
+                    0,
+                    offset + (comp.ctg_length - local) - k,
+                    _flip(h.ctg_strand),
+                    h.read_pos,
+                    h.read_strand,
+                )
+            )
+        else:
+            lifted.append(h)
+    return LiftedRow(read_id, comp.path_id, lifted)
+
+
+def _emit_read(rows: List[LiftedRow], out_fh) -> None:
+    """Merge one read's lifted rows per new scaffold and write survivors
+    (reference print_adjusted_mappings:87-118)."""
+    # consecutive grouping by new scaffold id
+    groups: List[Tuple[str, List[LiftedRow]]] = []
+    for row in rows:
+        if groups and groups[-1][0] == row.new_ctg:
+            groups[-1][1].append(row)
+        else:
+            groups.append((row.new_ctg, [row]))
+
+    subsumed: Dict[str, bool] = {}
+    first_index: Dict[str, int] = {}
+    for i, (ctg, _) in enumerate(groups):
+        if ctg in first_index:
+            for j in range(first_index[ctg] + 1, i):
+                subsumed[groups[j][0]] = True
+        else:
+            first_index[ctg] = i
+            subsumed.setdefault(ctg, False)
+
+    filtered = [row for row in rows if not subsumed.get(row.new_ctg, False)]
+
+    regrouped: List[Tuple[str, List[LiftedRow]]] = []
+    for row in filtered:
+        if regrouped and regrouped[-1][0] == row.new_ctg:
+            regrouped[-1][1].append(row)
+        else:
+            regrouped.append((row.new_ctg, [row]))
+
+    for ctg, members in regrouped:
+        hits = [h for row in members for h in row.hits]
+        if not hits:
+            continue
+        increasing = all(a.ctg_pos < b.ctg_pos for a, b in zip(hits, hits[1:]))
+        if not increasing and not all(
+            a.ctg_pos > b.ctg_pos for a, b in zip(hits, hits[1:])
+        ):
+            continue  # non-monotonic concatenation: drop
+        rendered = " ".join(
+            f"{h.ctg_pos}:{h.ctg_strand}_{h.read_pos}:{h.read_strand}" for h in hits
+        )
+        out_fh.write(
+            f"{members[0].read_id}\t{ctg}\t{len(hits)}\t{rendered}\n"
+        )
+
+
+def liftover_mappings(
+    mappings_path: str, agp_path: str, out_path: str, k: int
+) -> None:
+    agp = read_agp_components(agp_path)
+    with open(mappings_path) as fh, open(out_path, "w") as out_fh:
+        current: Optional[str] = None
+        rows: List[LiftedRow] = []
+        for line in fh:
+            read_id, ctg, _, hits_text = line.rstrip("\n").split("\t")
+            lifted = lift_row(read_id, ctg, hits_text, agp, k)
+            if lifted.read_id != current:
+                if current is not None:
+                    _emit_read(rows, out_fh)
+                current, rows = lifted.read_id, [lifted]
+            else:
+                rows.append(lifted)
+        if current is not None:
+            _emit_read(rows, out_fh)

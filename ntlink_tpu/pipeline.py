@@ -247,3 +247,87 @@ def run_scaffold(cfg: ScaffoldConfig, gap_fill: bool = False) -> str:
             raise ValueError("gap_fill requires the overlap trim stage")
         return gap_fill_stage(cfg)
     return final
+
+
+def clean_artifacts(cfg: ScaffoldConfig, extra: bool = False) -> None:
+    """Remove intermediate artifacts (reference ntLink clean/extra_clean)."""
+    prefix = cfg.resolved_prefix()
+    doomed = [f"{cfg.target}.k{cfg.k}.w{cfg.w}.tsv"]
+    if cfg.overlap:
+        doomed += [
+            f"{prefix}.trimmed_scafs.fa",
+            f"{prefix}.trimmed_scafs.tsv",
+            f"{prefix}.stitch.path",
+        ]
+    gap_fill_fa = f"{cfg.target}.k{cfg.k}.w{cfg.w}.z{cfg.z}.ntLink.scaffolds.gap_fill.fa"
+    if os.path.exists(gap_fill_fa):
+        doomed.append(f"{cfg.target}.k{cfg.k}.w{cfg.w}.z{cfg.z}.stitch.abyss-scaffold.fa")
+    if extra:
+        if cfg.overlap:
+            doomed.append(f"{prefix}.trimmed_scafs.path")
+        doomed.append(f"{prefix}.n{cfg.n}.scaffold.dot")
+    for path in doomed:
+        if os.path.exists(path) or os.path.islink(path):
+            os.unlink(path)
+
+
+def _relink(link: str, target: str) -> None:
+    if os.path.islink(link) or os.path.exists(link):
+        os.unlink(link)
+    os.symlink(target, link)
+
+
+def run_rounds(cfg: ScaffoldConfig, rounds: int, gap_fill: bool = False) -> str:
+    """Iterative rounds with AGP mapping liftover (reference ntLink_rounds).
+
+    Each round scaffolds the previous round's output; from round 2 onward the
+    previous mapping is lifted to the new coordinates and consumed as the
+    pair stage's checkpoint — sketching and matching run only once.
+    """
+    import dataclasses
+
+    from .liftover import liftover_mappings
+
+    if cfg.prefix is not None:
+        raise ValueError("prefix must be left default when running rounds")
+    kwz = f"k{cfg.k}.w{cfg.w}.z{cfg.z}"
+    suffix = "ntLink.gap_fill" if gap_fill else "ntLink"
+
+    target = cfg.target
+    round_out = None
+    for rnd in range(1, rounds + 1):
+        round_cfg = dataclasses.replace(cfg, target=target, prefix=None)
+        log(f"=== ntLink round {rnd}/{rounds} (target={target})")
+        if rnd > 1:
+            # liftover previous round's mappings into the new coordinates
+            prev_agp = f"{round_out}.agp"
+            prev_verbose = f"{round_out}.verbose_mapping.tsv"
+            checkpoint = f"{target}.{kwz}.verbose_mapping.tsv"
+            liftover_mappings(prev_verbose, prev_agp, checkpoint, cfg.k)
+        run_scaffold(round_cfg, gap_fill=gap_fill)
+
+        prefix = round_cfg.resolved_prefix()
+        if rnd == 1:
+            round_out = f"{target}.{kwz}.{suffix}.fa"
+        else:
+            # reference stem rules: %.ntLink[.gap_fill].fa from %[.gap_fill].fa
+            stem_suffix = ".gap_fill.fa" if gap_fill else ".fa"
+            round_out = f"{target[: -len(stem_suffix)]}.{suffix}.fa"
+        if gap_fill:
+            produced = f"{target}.{kwz}.ntLink.scaffolds.gap_fill.fa"
+            _relink(round_out, produced)
+            _relink(f"{round_out}.agp", f"{produced}.agp")
+        else:
+            produced = f"{target}.{kwz}.ntLink.scaffolds.fa"
+            _relink(round_out, os.readlink(produced))
+            _relink(f"{round_out}.agp", f"{prefix}.trimmed_scafs.agp")
+        _relink(
+            f"{round_out}.verbose_mapping.tsv", f"{prefix}.verbose_mapping.tsv"
+        )
+        clean_artifacts(round_cfg, extra=True)
+        target = round_out
+
+    final = f"{cfg.target}.{kwz}.{suffix}.{rounds}rounds.fa"
+    _relink(final, round_out)
+    log("Done ntLink rounds! Final scaffolds in:", final)
+    return final
