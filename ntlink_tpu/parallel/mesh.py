@@ -107,6 +107,8 @@ def mapping_step(codes, lengths, idx_hi, idx_lo, idx_cid, idx_pos, idx_strand,
         "anchor_pos": anchor_pos,
         "anchor_strand": anchor_strand,
         "read_strand": read_fwd,
+        "mx_hi": w_hi,
+        "mx_lo": w_lo,
         "n_anchors": n_anchors,
     }
 

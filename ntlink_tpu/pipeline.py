@@ -52,6 +52,29 @@ def read_scaffold_lengths(path: str) -> Dict[str, int]:
     return {rec.name: len(rec.seq) for rec in stream_fastx(path)}
 
 
+def _host_hit_stream(cfg, index, reads_file):
+    """NumPy-backend per-read anchor stream (sketch + dict join on host)."""
+    records = ((rec.name, rec.seq) for rec in stream_fastx(reads_file))
+    for name, read_len, mins in sketch_sequences(records, cfg.k, cfg.w):
+        mask = index.member_mask(mins.hashes)
+        if not mask.any():
+            yield name, read_len, []
+            continue
+        hits = []
+        for h, p, f in zip(
+            mins.hashes[mask], mins.positions[mask], mins.forward[mask]
+        ):
+            entry = index.get(int(h))
+            yield_strand = "+" if f else "-"
+            hits.append(
+                (
+                    entry.contig,
+                    AnchorHit(int(h), entry.position, entry.strand, int(p), yield_strand),
+                )
+            )
+        yield name, read_len, hits
+
+
 def map_reads(
     cfg: ScaffoldConfig,
     index: ContigIndex,
@@ -59,44 +82,51 @@ def map_reads(
     verbose_path: Optional[str],
     paf_path: Optional[str],
 ) -> PairTally:
-    """Stream read files through sketch → match → chain → tally."""
+    """Stream read files through sketch → match → chain → tally.
+
+    The sketch+match hot loop runs on-device in batches when a JAX backend is
+    available (device_map.DeviceMapper); chaining, output, and the pair tally
+    preserve the reference's exact order-sensitive semantics on host.
+    """
     tally = PairTally(contig_lengths, cfg.k, cfg.f)
     verbose_fh = open(verbose_path, "w") if verbose_path else None
     paf_fh = open(paf_path, "w") if paf_path else None
-    backend = get_backend(cfg.backend)
+
+    mapper = None
+    if cfg.backend != "numpy":
+        try:
+            from .device_map import DeviceMapper
+
+            mapper = DeviceMapper(
+                index, cfg.k, cfg.w, batch_bases=cfg.batch_bases
+            )
+        except Exception as exc:  # pragma: no cover - no jax available
+            if cfg.backend == "jax":
+                raise
+            log("Device backend unavailable, using NumPy:", exc)
+
     n_reads = 0
     try:
         for reads_file in cfg.reads:
             log("Mapping reads", reads_file)
-            records = (
-                (rec.name, rec.seq) for rec in stream_fastx(reads_file)
-            )
-            for name, read_len, mins in sketch_sequences(
-                records, cfg.k, cfg.w, backend=backend
-            ):
+            if mapper is not None:
+                records = ((rec.name, rec.seq) for rec in stream_fastx(reads_file))
+                hit_stream = mapper.map_stream(records)
+            else:
+                hit_stream = _host_hit_stream(cfg, index, reads_file)
+            for name, read_len, hits in hit_stream:
                 n_reads += 1
-                mask = index.member_mask(mins.hashes)
-                if not mask.any():
+                if not hits:
                     continue
-                mxs = [
-                    (int(h), int(p), "+" if f else "-")
-                    for h, p, f in zip(
-                        mins.hashes[mask], mins.positions[mask], mins.forward[mask]
-                    )
-                ]
                 if cfg.repeats:
-                    mxs = apply_repeat_filter(mxs)
-                if not mxs:
+                    # drop every occurrence of a hash matched more than once
+                    # within this read (reference ntlink_pair.py:368-374)
+                    counts: Dict[int, int] = {}
+                    for _, h in hits:
+                        counts[h.mx] = counts.get(h.mx, 0) + 1
+                    hits = [(c, h) for c, h in hits if counts[h.mx] == 1]
+                if not hits:
                     continue
-                hits = []
-                for mx, pos, strand in mxs:
-                    entry = index.get(mx)
-                    hits.append(
-                        (
-                            entry.contig,
-                            AnchorHit(mx, entry.position, entry.strand, pos, strand),
-                        )
-                    )
                 runs = chain_read_hits(
                     hits,
                     read_len,

@@ -3,12 +3,18 @@
 Must run before any jax import (session-scoped env setup)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env may say axon/tpu
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize force-registers the TPU platform before conftest
+# runs; the env var alone doesn't win. Override via jax config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_DIR = "/root/reference"
 GOLDEN_DIR = os.path.join(REFERENCE_DIR, "tests", "expected_outputs")
