@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Benchmark: long-read mapping throughput (reads/s/chip).
+
+Synthesizes a deterministic human-like workload (4 x 1 Mbase contigs, 15 kb
+reads at 95% identity), then measures the full mapping hot loop — minimizer
+sketching + index join on device, chaining + pair tally on host — end to end.
+
+Baseline = the same exact-semantics pipeline with the NumPy host backend
+(vectorized single-thread CPU), the stand-in for the reference's 4-thread
+CPU toolchain (btllib/indexlr is not installable in this image; see
+BASELINE.md — the reference publishes no numbers of its own).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+K, W, Z = 32, 100, 1000
+N_CONTIGS = 4
+CONTIG_LEN = 1_000_000
+N_READS = 3000
+READ_LEN = 15_000
+ERR = 0.05
+BASES = np.array(list("ACGT"))
+
+
+def make_dataset(rng):
+    contigs = {}
+    for i in range(N_CONTIGS):
+        contigs[f"ctg{i}"] = "".join(BASES[rng.integers(0, 4, CONTIG_LEN)])
+    reads = []
+    names = list(contigs)
+    for r in range(N_READS):
+        ctg = names[int(rng.integers(0, N_CONTIGS))]
+        start = int(rng.integers(0, CONTIG_LEN - READ_LEN))
+        arr = np.frombuffer(
+            contigs[ctg][start : start + READ_LEN].encode(), dtype=np.uint8
+        ).copy()
+        # substitution errors
+        n_err = int(READ_LEN * ERR)
+        pos = rng.integers(0, READ_LEN, n_err)
+        arr[pos] = BASES[rng.integers(0, 4, n_err)].astype("S1").view(np.uint8)
+        seq = arr.tobytes().decode()
+        if rng.random() < 0.5:
+            comp = str.maketrans("ACGT", "TGCA")
+            seq = seq.translate(comp)[::-1]
+        reads.append((f"read{r}", seq))
+    return contigs, reads
+
+
+def run_mapping(contigs, reads, index, contig_lengths, cfg, mapper=None):
+    """The mapping hot loop (mirrors pipeline.map_reads without file IO)."""
+    from ntlink_tpu.mapping import chain_read_hits
+    from ntlink_tpu.pairs import PairTally
+
+    tally = PairTally(contig_lengths, cfg.k, cfg.f)
+    n_reads = 0
+    n_bases = 0
+    if mapper is not None:
+        stream = mapper.map_stream(iter(reads))
+    else:
+        from ntlink_tpu.pipeline import _host_hit_stream
+
+        class _F:  # minimal shim: _host_hit_stream reads records itself
+            pass
+
+        def host_stream():
+            from ntlink_tpu.ops import nthash_np
+            from ntlink_tpu.mapping import AnchorHit
+
+            for name, seq in reads:
+                mins = nthash_np.sketch_sequence(seq, cfg.k, cfg.w)
+                mask = index.member_mask(mins.hashes)
+                hits = []
+                for h, p, f in zip(
+                    mins.hashes[mask], mins.positions[mask], mins.forward[mask]
+                ):
+                    e = index.get(int(h))
+                    hits.append(
+                        (e.contig, AnchorHit(int(h), e.position, e.strand, int(p), "+" if f else "-"))
+                    )
+                yield name, len(seq), hits
+
+        stream = host_stream()
+    for name, read_len, hits in stream:
+        n_reads += 1
+        n_bases += read_len
+        if not hits:
+            continue
+        runs = chain_read_hits(
+            hits, read_len, contig_lengths, cfg.k, cfg.z, x=cfg.x
+        )
+        if runs:
+            tally.add_read(runs, read_len)
+    return n_reads, n_bases, tally
+
+
+def main():
+    from ntlink_tpu.config import ScaffoldConfig
+    from ntlink_tpu.index import ContigIndex
+    from ntlink_tpu.ops import nthash_np
+
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+    contigs, reads = make_dataset(rng)
+    contig_lengths = {n: len(s) for n, s in contigs.items()}
+    index = ContigIndex.from_sketches(
+        (name, nthash_np.sketch_sequence(seq, K, W)) for name, seq in contigs.items()
+    )
+    print(f"# dataset+index built in {time.time()-t0:.1f}s; index={len(index)}",
+          file=sys.stderr)
+
+    cfg = ScaffoldConfig(k=K, w=W, z=Z)
+
+    # --- device path -----------------------------------------------------
+    import jax
+
+    device_kind = jax.devices()[0].device_kind
+    from ntlink_tpu.device_map import DeviceMapper
+
+    mapper = DeviceMapper(index, K, W, batch_bases=16_000_000)
+    # warmup (compile)
+    warm = reads[:64]
+    run_mapping(contigs, warm, index, contig_lengths, cfg, mapper)
+    t0 = time.time()
+    n_reads, n_bases, tally = run_mapping(contigs, reads, index, contig_lengths, cfg, mapper)
+    dev_t = time.time() - t0
+    dev_rps = n_reads / dev_t
+    print(
+        f"# device[{device_kind}]: {n_reads} reads {n_bases/1e6:.0f} Mbase in "
+        f"{dev_t:.2f}s -> {dev_rps:.0f} reads/s, {n_bases/dev_t/1e6:.0f} Mbase/s, "
+        f"{len(tally.pairs)} pairs",
+        file=sys.stderr,
+    )
+
+    # --- host baseline (subset, scaled) ----------------------------------
+    sub = reads[: max(100, N_READS // 15)]
+    t0 = time.time()
+    n_r, n_b, _ = run_mapping(contigs, sub, index, contig_lengths, cfg, None)
+    host_t = time.time() - t0
+    host_rps = n_r / host_t
+    print(
+        f"# host-numpy baseline: {n_r} reads in {host_t:.2f}s -> "
+        f"{host_rps:.0f} reads/s",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "long_read_mapping_throughput_per_chip",
+                "value": round(dev_rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(dev_rps / host_rps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

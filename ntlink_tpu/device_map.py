@@ -1,19 +1,20 @@
 """Batched device mapping: sketch + index join on-chip, chaining on host.
 
 This is the engine's hot path. Reads stream into padded, length-bucketed
-(B, L) code batches; one fused jitted step per batch computes minimizer
-sketches and joins them against the replicated contig index (binary search
-over the sorted (hi, lo) hash table); the host receives dense per-window
-anchor payloads and compacts each read's matched anchors for the exact-order
-chaining/tally stages. Reads the device cannot handle exactly (interior N,
-oversized) fall back to the NumPy sketch + dict join, preserving bit-exact
-semantics everywhere.
+2-bit-packed (B, L/4) batches (4x less host->device traffic); one fused
+jitted step per batch unpacks, sketches, compacts the selected minimizers,
+joins them against the replicated contig hash table, and compacts matched
+anchors — so the device->host transfer is O(anchors). The host then runs the
+exact-order chaining/tally stages. Reads the device cannot handle exactly
+(interior N, oversized, or minimizer-slot overflow) fall back to the NumPy
+sketch + dict join, preserving bit-exact semantics everywhere.
 
 With more than one device, the same step runs sharded over a 1-D data mesh
-(rows split across chips, index replicated) — see parallel.mesh.
+(rows split across chips, table replicated) — see parallel.mesh.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -21,6 +22,13 @@ import numpy as np
 from .index import ContigIndex
 from .mapping import AnchorHit
 from .ops import nthash_np
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
 
 
 class DeviceMapper:
@@ -31,7 +39,7 @@ class DeviceMapper:
                  batch_bases: int = 8_000_000, use_mesh: bool = True):
         import jax
 
-        from .parallel.mesh import DeviceIndex, make_mesh, make_sharded_mapping_step
+        from .parallel.mesh import DeviceIndex
 
         self.index = index
         self.k, self.w = k, w
@@ -44,27 +52,45 @@ class DeviceMapper:
                 self.contig_names.append(entry.contig)
         self.didx = DeviceIndex.from_contig_index(index, order)
         self.n_devices = len(jax.devices()) if use_mesh else 1
-        if self.n_devices > 1:
-            mesh = make_mesh()
-            self._step = make_sharded_mapping_step(mesh, k, w)
-        else:
-            self._step = self._single_step()
+        self._steps: Dict[Tuple[int, int], object] = {}
 
-    def _single_step(self):
-        import functools
+    def _slots_for(self, L: int) -> int:
+        """Minimizer slot budget for padded length L (density ~2/(w+1))."""
+        return _next_pow2(max(128, int(2.5 * L / (self.w + 1)) + 64))
 
-        import jax
-
-        from .parallel.mesh import mapping_step
-
-        @functools.partial(jax.jit, static_argnums=(7, 8))
-        def step(codes, lengths, hi, lo, cid, pos, strand, k, w):
-            return mapping_step(codes, lengths, hi, lo, cid, pos, strand, k, w)
-
-        return lambda codes, lengths, didx: step(
-            codes, lengths, didx.hi, didx.lo, didx.contig_ids, didx.positions,
-            didx.strands, self.k, self.w,
+    def _step_for(self, L: int):
+        key = (L, self._slots_for(L))
+        if key in self._steps:
+            return self._steps[key]
+        from .parallel.mesh import (
+            make_mesh,
+            make_sharded_mapping_step,
+            mapping_step_packed,
         )
+
+        if self.n_devices > 1:
+            step = make_sharded_mapping_step(
+                make_mesh(), self.k, self.w, L, self.didx.mask,
+                self.didx.max_probes, key[1],
+            )
+        else:
+            import jax
+
+            @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+            def jstep(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+                      k, w, L_, mask, probes, anchors):
+                return mapping_step_packed(
+                    packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+                    k, w, L_, mask, probes, anchors,
+                )
+
+            d = self.didx
+            step = lambda packed, lengths, didx: jstep(
+                packed, lengths, d.t_hi, d.t_lo, d.t_cid, d.t_pos, d.t_strand,
+                self.k, self.w, L, d.mask, d.max_probes, key[1],
+            )
+        self._steps[key] = step
+        return step
 
     # -- host fallback ----------------------------------------------------
 
@@ -96,46 +122,68 @@ class DeviceMapper:
         import jax
         import jax.numpy as jnp
 
+        from .parallel.mesh import pack_codes
+
         pending: List[Tuple[str, int]] = []   # (name, length)
         results: Dict[int, list] = {}
         encoded: Dict[int, np.ndarray] = {}
         buckets: Dict[int, List[int]] = {}
 
+        in_flight: List[tuple] = []  # double-buffer: overlap device + host
+
         def flush_bucket(pad: int, idxs: List[int]) -> None:
-            B = max(self.n_devices, 1)
-            while B < len(idxs):
-                B <<= 1
-            codes = np.full((B, pad), 4, dtype=np.uint8)
+            # fixed batch height per bucket: exactly one compile per bucket
+            B = max(
+                self.n_devices,
+                _next_pow2(max(1, self.batch_bases // pad)),
+            )
+            assert len(idxs) <= B
+            codes = np.zeros((B, pad), dtype=np.uint8)
             lengths = np.zeros(B, dtype=np.int32)
+            rows = {}
             for row, i in enumerate(idxs):
                 c = encoded.pop(i)
                 codes[row, : len(c)] = c
                 lengths[row] = len(c)
-            out = self._step(jnp.asarray(codes), jnp.asarray(lengths), self.didx)
-            jax.block_until_ready(out)
-            found = np.asarray(out["found"])
-            winner = np.asarray(out["winner"])
-            cid = np.asarray(out["anchor_cid"])
-            cpos = np.asarray(out["anchor_pos"])
-            cstr = np.asarray(out["anchor_strand"])
-            rstr = np.asarray(out["read_strand"])
-            hi = np.asarray(out["mx_hi"]).astype(np.uint64)
-            lo = np.asarray(out["mx_lo"]).astype(np.uint64)
-            for row, i in enumerate(idxs):
-                sel = np.nonzero(found[row])[0]
+                rows[row] = i
+            step = self._step_for(pad)
+            out = step(
+                jnp.asarray(pack_codes(codes)), jnp.asarray(lengths), self.didx
+            )  # async dispatch
+            in_flight.append((out, rows, codes, lengths))
+            if len(in_flight) > 1:
+                drain(*in_flight.pop(0))
+
+        def drain(out, rows, codes, lengths) -> None:
+            count = np.asarray(out["count"])
+            n_mins = np.asarray(out["n_minimizers"])
+            slots = int(out["anchors"].shape[1])
+            # single trimmed transfer; pow2 width keeps the slice op cached
+            mc = min(slots, _next_pow2(max(1, int(count.max()))))
+            anchors = np.asarray(out["anchors"][:, :mc, :])
+            rpos, cid, cpos = anchors[..., 0], anchors[..., 1], anchors[..., 2]
+            sbits = anchors[..., 3]
+            hi = anchors[..., 4].astype(np.uint32).astype(np.uint64)
+            lo = anchors[..., 5].astype(np.uint32).astype(np.uint64)
+            for row, i in rows.items():
+                if n_mins[row] > slots:  # slot overflow: redo exactly on host
+                    seq_codes = codes[row, : int(lengths[row])].copy()
+                    results[i] = self._host_map(seq_codes)
+                    continue
                 hits = []
-                for s in sel:
+                for s in range(int(count[row])):
                     name = self.contig_names[cid[row, s]]
                     h = int((hi[row, s] << np.uint64(32)) | lo[row, s])
+                    bits = int(sbits[row, s])
                     hits.append(
                         (
                             name,
                             AnchorHit(
                                 h,
                                 int(cpos[row, s]),
-                                "+" if cstr[row, s] else "-",
-                                int(winner[row, s]),
-                                "+" if rstr[row, s] else "-",
+                                "+" if bits & 1 else "-",
+                                int(rpos[row, s]),
+                                "+" if bits & 2 else "-",
                             ),
                         )
                     )
@@ -146,6 +194,8 @@ class DeviceMapper:
                 if idxs:
                     flush_bucket(pad, idxs)
             buckets.clear()
+            while in_flight:
+                drain(*in_flight.pop(0))
             for i, (name, length) in enumerate(pending):
                 yield name, length, results[i]
             pending.clear()
@@ -165,9 +215,14 @@ class DeviceMapper:
                 continue
             encoded[i] = codes
             pad = self._pad_len(len(seq))
-            buckets.setdefault(pad, []).append(i)
+            bucket = buckets.setdefault(pad, [])
+            bucket.append(i)
+            cap = max(self.n_devices, _next_pow2(max(1, self.batch_bases // pad)))
+            if len(bucket) >= cap:
+                flush_bucket(pad, bucket)
+                buckets[pad] = []
             budget += pad
-            if budget >= self.batch_bases:
+            if budget >= 4 * self.batch_bases:
                 yield from flush_all()
                 budget = 0
         yield from flush_all()

@@ -6,6 +6,12 @@ on every device, and per-shard anchor evidence is merged with XLA collectives
 (`psum`) riding ICI. This mirrors the problem's structure (index small and
 read-only, reads embarrassingly parallel) rather than the reference's
 process-level parallelism (reference SURVEY §2c).
+
+Join design: TPUs pay heavily for gathers from large tables, so the anchor
+join is (1) deferred until after on-device minimizer compaction (only ~2L/w
+selected k-mers per read are looked up, not every window) and (2) done with
+an open-addressing hash table probed a small constant number of times,
+instead of a log2(n)-step binary search.
 """
 from __future__ import annotations
 
@@ -20,6 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.sketch_jax import sketch_batch_kernel
 
+_FIB = 0x9E3779B1  # 32-bit Fibonacci hashing constant
+
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
@@ -29,18 +37,55 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 class DeviceIndex:
-    """Replicated sorted contig-minimizer table for on-device hash joins."""
+    """Replicated contig-minimizer hash table for on-device joins.
+
+    Open addressing, linear probing, load factor <= 0.5, slot-aligned
+    payloads (contig id / position / strand). `max_probes` is the longest
+    probe chain observed at build time (static loop bound on device).
+    """
 
     def __init__(self, hashes: np.ndarray, contig_ids: np.ndarray,
                  positions: np.ndarray, strands: np.ndarray):
-        order = np.argsort(hashes, kind="stable")
-        h = hashes[order]
-        self.hi = jnp.asarray((h >> np.uint64(32)).astype(np.uint32))
-        self.lo = jnp.asarray((h & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-        self.contig_ids = jnp.asarray(contig_ids[order].astype(np.int32))
-        self.positions = jnp.asarray(positions[order].astype(np.int32))
-        self.strands = jnp.asarray(strands[order])
-        self.size = int(h.shape[0])
+        n = int(hashes.shape[0])
+        size = 1
+        while size < max(2 * n, 16):
+            size <<= 1
+        mask = size - 1
+        hi = (hashes >> np.uint64(32)).astype(np.uint32)
+        lo = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+        t_hi = np.zeros(size, np.uint32)
+        t_lo = np.zeros(size, np.uint32)
+        t_cid = np.full(size, -1, np.int32)
+        t_pos = np.zeros(size, np.int32)
+        t_strand = np.zeros(size, bool)
+
+        # vectorized-ish linear-probing insertion
+        slots = ((lo ^ hi) * np.uint32(_FIB)).astype(np.uint32) & np.uint32(mask)
+        order = np.argsort(slots, kind="stable")
+        max_probes = 1
+        for i in order.tolist():
+            s = int(slots[i])
+            probes = 1
+            while t_cid[s] != -1:
+                s = (s + 1) & mask
+                probes += 1
+            t_hi[s] = hi[i]
+            t_lo[s] = lo[i]
+            t_cid[s] = contig_ids[i]
+            t_pos[s] = positions[i]
+            t_strand[s] = strands[i]
+            max_probes = max(max_probes, probes)
+
+        self.size = size
+        self.mask = mask
+        # pad the static probe bound to a multiple of 4 for jit-cache stability
+        self.max_probes = (max_probes + 3) & ~3
+        self.t_hi = jnp.asarray(t_hi)
+        self.t_lo = jnp.asarray(t_lo)
+        self.t_cid = jnp.asarray(t_cid)
+        self.t_pos = jnp.asarray(t_pos)
+        self.t_strand = jnp.asarray(t_strand)
 
     @classmethod
     def from_contig_index(cls, index, contig_order) -> "DeviceIndex":
@@ -58,9 +103,118 @@ class DeviceIndex:
         return cls(hashes, cids, poss, strs)
 
 
+def hash_table_join(t_hi, t_lo, t_cid, t_pos, t_strand, q_hi, q_lo,
+                    mask: int, max_probes: int):
+    """Probe the open-addressing table for each query (hi, lo) pair."""
+    slot = ((q_lo ^ q_hi) * jnp.uint32(_FIB)) & jnp.uint32(mask)
+    slot = slot.astype(jnp.int32)
+    found = jnp.zeros(q_hi.shape, jnp.bool_)
+    payload = jnp.zeros(q_hi.shape, jnp.int32)
+    alive = jnp.ones(q_hi.shape, jnp.bool_)
+
+    def body(_, carry):
+        slot, found, payload, alive = carry
+        cid = t_cid[slot]
+        hit = alive & (cid != -1) & (t_hi[slot] == q_hi) & (t_lo[slot] == q_lo)
+        payload = jnp.where(hit, slot, payload)
+        found = found | hit
+        alive = alive & ~hit & (cid != -1)
+        slot = (slot + 1) & mask
+        return slot, found, payload, alive
+
+    slot, found, payload, alive = jax.lax.fori_loop(
+        0, max_probes, body, (slot, found, payload, alive)
+    )
+    return found, t_cid[payload], t_pos[payload], t_strand[payload]
+
+
+def unpack_codes(packed: jnp.ndarray, L: int) -> jnp.ndarray:
+    """(B, L//4) 2-bit-packed uint8 -> (B, L) base codes 0..3."""
+    B = packed.shape[0]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    expanded = (packed[:, :, None] >> shifts[None, None, :]) & 3
+    return expanded.reshape(B, L)
+
+
+def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+                        k: int, w: int, L: int, mask: int, max_probes: int,
+                        max_anchors: int):
+    """Fused mapping step: unpack -> sketch -> compact minimizers ->
+    hash-join -> compact matches. All outputs are O(anchors), not O(bases).
+
+    Returns per-read `count` plus `max_anchors`-slot arrays: read positions,
+    contig ids / positions / strands, read strands, matched hash halves.
+    """
+    codes = unpack_codes(packed, L)
+    out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
+
+    # compact selected minimizers (order-preserving): ~2L/w of L-k+1 windows
+    B, NW = emit.shape
+    sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_anchors]
+    sel_ok = jnp.take_along_axis(emit, sel, axis=1)
+    m_pos = jnp.take_along_axis(winner, sel, axis=1)
+    q_hi = jnp.take_along_axis(out_hi, jnp.maximum(m_pos, 0), axis=1)
+    q_lo = jnp.take_along_axis(out_lo, jnp.maximum(m_pos, 0), axis=1)
+    m_fwd = jnp.take_along_axis(fwd, jnp.maximum(m_pos, 0), axis=1)
+
+    found, cid, cpos, cstrand = hash_table_join(
+        t_hi, t_lo, t_cid, t_pos, t_strand, q_hi, q_lo, mask, max_probes
+    )
+    found = found & sel_ok
+    n_minimizers = emit.sum(axis=1).astype(jnp.int32)
+
+    # compact matched anchors to the front (order preserved) and stack all
+    # payloads into ONE tensor: transfers over slow links are
+    # latency-dominated, so one output beats nine
+    order = jnp.argsort(~found, axis=1, stable=True)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    found_c = take(found)
+    strand_bits = (
+        take(cstrand).astype(jnp.int32) | (take(m_fwd).astype(jnp.int32) << 1)
+    )
+    anchors = jnp.stack(
+        [
+            jnp.where(found_c, take(m_pos), -1),
+            jnp.where(found_c, take(cid), -1),
+            jnp.where(found_c, take(cpos), -1),
+            strand_bits,
+            take(q_hi).astype(jnp.int32),
+            take(q_lo).astype(jnp.int32),
+        ],
+        axis=2,
+    )  # (B, S, 6) int32
+    return {
+        "count": found.sum(axis=1).astype(jnp.int32),
+        "n_minimizers": n_minimizers,  # overflow check: > max_anchors
+        "anchors": anchors,
+        "n_anchors": found.sum(),
+    }
+
+
+def mapping_step(codes, lengths, idx_hi, idx_lo, idx_cid, idx_pos, idx_strand,
+                 k: int, w: int):
+    """Compatibility wrapper over unpacked codes with a sorted-array index.
+
+    Used by the graft entry; production path is mapping_step_packed.
+    """
+    out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
+    w_hi = jnp.take_along_axis(out_hi, winner, axis=1)
+    w_lo = jnp.take_along_axis(out_lo, winner, axis=1)
+    pos, found = lex_binary_search(idx_hi, idx_lo, w_hi, w_lo, idx_hi.shape[0])
+    found = found & emit
+    return {
+        "found": found,
+        "anchor_cid": jnp.where(found, idx_cid[pos], -1),
+        "anchor_pos": jnp.where(found, idx_pos[pos], -1),
+        "anchor_strand": jnp.where(found, idx_strand[pos], False),
+        "winner": winner,
+        "n_anchors": found.sum(),
+    }
+
+
 def lex_binary_search(idx_hi, idx_lo, q_hi, q_lo, n: int):
-    """Vectorized lower-bound search of (hi, lo) query pairs in the sorted
-    (hi, lo) table. Returns positions (clamped) and a found mask."""
+    """Vectorized lower-bound search of (hi, lo) query pairs in a sorted
+    (hi, lo) table (kept for the compatibility wrapper + tests)."""
     steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
     lo_b = jnp.zeros(q_hi.shape, jnp.int32)
     hi_b = jnp.full(q_hi.shape, n, jnp.int32)
@@ -79,70 +233,61 @@ def lex_binary_search(idx_hi, idx_lo, q_hi, q_lo, n: int):
     return pos, found
 
 
-def mapping_step(codes, lengths, idx_hi, idx_lo, idx_cid, idx_pos, idx_strand,
-                 k: int, w: int):
-    """Single-device mapping step: sketch + hash-join against the index.
+class SortedDeviceIndex:
+    """Sorted (hi, lo) arrays — used by the compatibility mapping_step."""
 
-    Returns dense per-window outputs; the host compacts ragged results.
-      winner (B, NW) minimizer positions, emit mask, anchor payloads
-      (contig id / ctg position / ctg strand, -1 or False where unmatched).
-    """
-    out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
-    B = codes.shape[0]
-    # gather each winner's reported hash, join against the index
-    w_hi = jnp.take_along_axis(out_hi, winner, axis=1)
-    w_lo = jnp.take_along_axis(out_lo, winner, axis=1)
-    pos, found = lex_binary_search(idx_hi, idx_lo, w_hi, w_lo, idx_hi.shape[0])
-    found = found & emit
-    anchor_cid = jnp.where(found, idx_cid[pos], -1)
-    anchor_pos = jnp.where(found, idx_pos[pos], -1)
-    anchor_strand = jnp.where(found, idx_strand[pos], False)
-    read_fwd = jnp.take_along_axis(fwd, winner, axis=1)
-    n_anchors = found.sum()
-    return {
-        "winner": winner,
-        "emit": emit,
-        "found": found,
-        "anchor_cid": anchor_cid,
-        "anchor_pos": anchor_pos,
-        "anchor_strand": anchor_strand,
-        "read_strand": read_fwd,
-        "mx_hi": w_hi,
-        "mx_lo": w_lo,
-        "n_anchors": n_anchors,
-    }
+    def __init__(self, hashes, contig_ids, positions, strands):
+        order = np.argsort(hashes, kind="stable")
+        h = hashes[order]
+        self.hi = jnp.asarray((h >> np.uint64(32)).astype(np.uint32))
+        self.lo = jnp.asarray((h & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        self.contig_ids = jnp.asarray(contig_ids[order].astype(np.int32))
+        self.positions = jnp.asarray(positions[order].astype(np.int32))
+        self.strands = jnp.asarray(strands[order])
 
 
-def make_sharded_mapping_step(mesh: Mesh, k: int, w: int):
-    """jit the mapping step with batch rows sharded over the data axis and
-    the index replicated; XLA inserts the collectives."""
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """(B, L) base codes (0..3; L % 4 == 0) -> (B, L//4) packed uint8."""
+    B, L = codes.shape
+    c = codes.reshape(B, L // 4, 4)
+    out = c[:, :, 3] << 6
+    out |= c[:, :, 2] << 4
+    out |= c[:, :, 1] << 2
+    out |= c[:, :, 0]
+    return out
+
+
+def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
+                              mask: int, max_probes: int, max_anchors: int):
+    """jit the packed mapping step with batch rows sharded over the data
+    axis and the table replicated; XLA inserts the collectives."""
     data_sharding = NamedSharding(mesh, P("data", None))
     repl = NamedSharding(mesh, P())
 
     @functools.partial(
         jax.jit,
-        static_argnums=(7, 8),
+        static_argnums=(7, 8, 9, 10, 11, 12),
         in_shardings=(
             data_sharding, NamedSharding(mesh, P("data")),
             repl, repl, repl, repl, repl,
         ),
     )
-    def step(codes, lengths, idx_hi, idx_lo, idx_cid, idx_pos, idx_strand,
-             k_, w_):
-        return mapping_step(
-            codes, lengths, idx_hi, idx_lo, idx_cid, idx_pos, idx_strand, k_, w_
+    def step(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+             k_, w_, L_, mask_, probes_, anchors_):
+        return mapping_step_packed(
+            packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+            k_, w_, L_, mask_, probes_, anchors_,
         )
 
-    return lambda codes, lengths, didx: step(
-        codes, lengths, didx.hi, didx.lo, didx.contig_ids, didx.positions,
-        didx.strands, k, w,
+    return lambda packed, lengths, didx: step(
+        packed, lengths, didx.t_hi, didx.t_lo, didx.t_cid, didx.t_pos,
+        didx.t_strand, k, w, L, mask, max_probes, max_anchors,
     )
 
 
 def dryrun(n_devices: int, k: int = 32, w: int = 100) -> None:
     """Compile + execute one sharded mapping step on an n-device mesh with a
     tiny synthetic batch; validates the multi-chip path end to end."""
-    mesh = make_mesh(n_devices)
     rng = np.random.default_rng(0)
     B, L = n_devices * 2, 2048
     codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
@@ -158,8 +303,13 @@ def dryrun(n_devices: int, k: int = 32, w: int = 100) -> None:
         mins.positions.astype(np.int32),
         mins.forward,
     )
-    step = make_sharded_mapping_step(mesh, k, w)
-    out = step(jnp.asarray(codes), jnp.asarray(lengths), didx)
+    mesh = make_mesh(n_devices)
+    step = make_sharded_mapping_step(
+        mesh, k, w, L, didx.mask, didx.max_probes, 256
+    )
+    out = step(
+        jnp.asarray(pack_codes(codes)), jnp.asarray(lengths), didx
+    )
     jax.block_until_ready(out)
     n_anchors = int(out["n_anchors"])
     assert n_anchors >= len(mins), "sharded join lost anchors"
