@@ -202,10 +202,15 @@ class DeviceMapper:
             results.clear()
 
         budget = 0
-        for name, seq in named_seqs:
+        for name, payload in named_seqs:
             i = len(pending)
-            pending.append((name, len(seq)))
-            codes = nthash_np.encode(seq)
+            pending.append((name, len(payload)))
+            codes = (
+                payload
+                if isinstance(payload, np.ndarray)
+                else nthash_np.encode(payload)
+            )
+            seq = payload
             if (
                 len(seq) < self.k
                 or len(seq) > self.MAX_PAD

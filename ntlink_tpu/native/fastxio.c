@@ -1,0 +1,341 @@
+/* ntlink_fastx — native streaming FASTA/FASTQ reader.
+ *
+ * The native counterpart of the engine's host input pipeline (the reference
+ * pipeline leans on btllib::SeqReader + pigz for this role). Transparent
+ * gzip via zlib, readfq-compatible record splitting, and optional in-reader
+ * 2-bit-code encoding (A/C/G/T -> 0..3, other -> 4) so the Python layer can
+ * hand buffers straight to the device packer without touching each base.
+ *
+ * Exposed API:
+ *   Reader(path, codes=False)
+ *     iterator of (name: str, comment: str | None, payload: bytes,
+ *                  qual: bytes | None)
+ *     payload is the raw sequence (codes=False) or the encoded code bytes.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <stdint.h>
+#include <string.h>
+#include <zlib.h>
+
+#define CHUNK (1 << 20)
+
+static unsigned char CODE_TAB[256];
+
+typedef struct {
+    PyObject_HEAD
+    gzFile gz;
+    int codes;
+    int eof;
+    /* buffered reader state */
+    unsigned char *buf;
+    size_t buf_len;
+    size_t buf_pos;
+    /* carried-over header line (without leading marker) */
+    char *pending;
+    size_t pending_len;
+    int pending_is_fastq;
+} ReaderObject;
+
+/* -- dynamic byte buffer ------------------------------------------------ */
+typedef struct {
+    char *data;
+    size_t len;
+    size_t cap;
+} DynBuf;
+
+static int dyn_reserve(DynBuf *b, size_t extra)
+{
+    if (b->len + extra <= b->cap)
+        return 0;
+    size_t cap = b->cap ? b->cap : 4096;
+    while (cap < b->len + extra)
+        cap *= 2;
+    char *p = PyMem_Realloc(b->data, cap);
+    if (!p)
+        return -1;
+    b->data = p;
+    b->cap = cap;
+    return 0;
+}
+
+static void dyn_free(DynBuf *b)
+{
+    PyMem_Free(b->data);
+    b->data = NULL;
+    b->len = b->cap = 0;
+}
+
+/* -- buffered line reading --------------------------------------------- */
+
+static int fill_buffer(ReaderObject *self)
+{
+    if (self->eof)
+        return 0;
+    int n = gzread(self->gz, self->buf, CHUNK);
+    if (n < 0) {
+        PyErr_SetString(PyExc_IOError, "gzread failed");
+        return -1;
+    }
+    if (n == 0)
+        self->eof = 1;
+    self->buf_len = (size_t)n;
+    self->buf_pos = 0;
+    return 0;
+}
+
+/* Append the next line (without trailing newline) into out.
+ * Returns 1 on line read, 0 on EOF, -1 on error. */
+static int read_line(ReaderObject *self, DynBuf *out)
+{
+    out->len = 0;
+    int got_any = 0;
+    for (;;) {
+        if (self->buf_pos >= self->buf_len) {
+            if (fill_buffer(self) < 0)
+                return -1;
+            if (self->buf_len == 0)
+                return got_any ? 1 : 0;
+        }
+        unsigned char *start = self->buf + self->buf_pos;
+        size_t avail = self->buf_len - self->buf_pos;
+        unsigned char *nl = memchr(start, '\n', avail);
+        size_t span = nl ? (size_t)(nl - start) : avail;
+        if (span) {
+            if (dyn_reserve(out, span) < 0)
+                return -1;
+            memcpy(out->data + out->len, start, span);
+            out->len += span;
+        }
+        got_any = 1;
+        if (nl) {
+            self->buf_pos += span + 1;
+            return 1;
+        }
+        self->buf_pos += span;
+    }
+}
+
+/* -- Reader type -------------------------------------------------------- */
+
+static void Reader_dealloc(ReaderObject *self)
+{
+    if (self->gz)
+        gzclose(self->gz);
+    PyMem_Free(self->buf);
+    PyMem_Free(self->pending);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyObject *Reader_new(PyTypeObject *type, PyObject *args, PyObject *kwds)
+{
+    static char *kwlist[] = {"path", "codes", NULL};
+    const char *path;
+    int codes = 0;
+    if (!PyArg_ParseTupleAndKeywords(args, kwds, "s|p", kwlist, &path, &codes))
+        return NULL;
+
+    ReaderObject *self = (ReaderObject *)type->tp_alloc(type, 0);
+    if (!self)
+        return NULL;
+    self->codes = codes;
+    self->eof = 0;
+    self->buf_len = self->buf_pos = 0;
+    self->pending = NULL;
+    self->pending_len = 0;
+    self->buf = PyMem_Malloc(CHUNK);
+    if (!self->buf) {
+        Py_DECREF(self);
+        return PyErr_NoMemory();
+    }
+    self->gz = gzopen(path, "rb");
+    if (!self->gz) {
+        Py_DECREF(self);
+        PyErr_Format(PyExc_IOError, "cannot open %s", path);
+        return NULL;
+    }
+    gzbuffer(self->gz, CHUNK);
+    return (PyObject *)self;
+}
+
+static void encode_inplace(char *seq, size_t n)
+{
+    for (size_t i = 0; i < n; i++)
+        seq[i] = (char)CODE_TAB[(unsigned char)seq[i]];
+}
+
+static PyObject *Reader_iternext(ReaderObject *self)
+{
+    DynBuf line = {0};
+    DynBuf seq = {0};
+    DynBuf qual = {0};
+    char *header = NULL;
+    size_t header_len = 0;
+    int rc;
+
+    /* find the record header */
+    if (self->pending) {
+        header = self->pending;
+        header_len = self->pending_len;
+        self->pending = NULL;
+    } else {
+        for (;;) {
+            rc = read_line(self, &line);
+            if (rc <= 0)
+                goto stop_or_error;
+            if (line.len && (line.data[0] == '>' || line.data[0] == '@')) {
+                header = PyMem_Malloc(line.len); /* drops the marker */
+                if (!header)
+                    goto nomem;
+                memcpy(header, line.data + 1, line.len - 1);
+                header_len = line.len - 1;
+                break;
+            }
+        }
+    }
+
+    /* read sequence lines until the next header or '+' */
+    int next_is_plus = 0;
+    for (;;) {
+        rc = read_line(self, &line);
+        if (rc < 0)
+            goto error;
+        if (rc == 0)
+            break;
+        if (line.len &&
+            (line.data[0] == '>' || line.data[0] == '@' || line.data[0] == '+')) {
+            if (line.data[0] == '+') {
+                next_is_plus = 1;
+            } else {
+                self->pending = PyMem_Malloc(line.len);
+                if (!self->pending)
+                    goto nomem;
+                memcpy(self->pending, line.data + 1, line.len - 1);
+                self->pending_len = line.len - 1;
+            }
+            break;
+        }
+        if (dyn_reserve(&seq, line.len) < 0)
+            goto nomem;
+        memcpy(seq.data + seq.len, line.data, line.len);
+        seq.len += line.len;
+    }
+
+    int have_qual = 0;
+    if (next_is_plus) {
+        /* FASTQ: read quality until it covers the sequence */
+        while (qual.len < seq.len) {
+            rc = read_line(self, &line);
+            if (rc < 0)
+                goto error;
+            if (rc == 0)
+                break;
+            if (dyn_reserve(&qual, line.len) < 0)
+                goto nomem;
+            memcpy(qual.data + qual.len, line.data, line.len);
+            qual.len += line.len;
+        }
+        have_qual = qual.len >= seq.len;
+    }
+
+    /* split header into name + comment */
+    {
+        size_t sp = 0;
+        while (sp < header_len && header[sp] != ' ' && header[sp] != '\t')
+            sp++;
+        PyObject *name = PyUnicode_DecodeASCII(header, sp, "replace");
+        PyObject *comment;
+        if (sp < header_len) {
+            size_t cstart = sp;
+            while (cstart < header_len &&
+                   (header[cstart] == ' ' || header[cstart] == '\t'))
+                cstart++;
+            comment = PyUnicode_DecodeASCII(header + cstart,
+                                            header_len - cstart, "replace");
+        } else {
+            comment = Py_None;
+            Py_INCREF(Py_None);
+        }
+        if (self->codes)
+            encode_inplace(seq.data, seq.len);
+        PyObject *payload = PyBytes_FromStringAndSize(seq.data, seq.len);
+        PyObject *qual_obj;
+        if (have_qual) {
+            qual_obj = PyBytes_FromStringAndSize(qual.data, qual.len);
+        } else {
+            qual_obj = Py_None;
+            Py_INCREF(Py_None);
+        }
+        PyObject *result = NULL;
+        if (name && comment && payload && qual_obj)
+            result = PyTuple_Pack(4, name, comment, payload, qual_obj);
+        Py_XDECREF(name);
+        Py_XDECREF(comment);
+        Py_XDECREF(payload);
+        Py_XDECREF(qual_obj);
+        PyMem_Free(header);
+        dyn_free(&line);
+        dyn_free(&seq);
+        dyn_free(&qual);
+        return result;
+    }
+
+nomem:
+    PyErr_NoMemory();
+error:
+    PyMem_Free(header);
+    dyn_free(&line);
+    dyn_free(&seq);
+    dyn_free(&qual);
+    return NULL;
+
+stop_or_error:
+    dyn_free(&line);
+    dyn_free(&seq);
+    dyn_free(&qual);
+    if (rc == 0)
+        PyErr_SetNone(PyExc_StopIteration);
+    return NULL;
+}
+
+static PyTypeObject ReaderType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "ntlink_fastx.Reader",
+    .tp_basicsize = sizeof(ReaderObject),
+    .tp_dealloc = (destructor)Reader_dealloc,
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_doc = "Streaming FASTA/FASTQ(.gz) reader",
+    .tp_iter = PyObject_SelfIter,
+    .tp_iternext = (iternextfunc)Reader_iternext,
+    .tp_new = Reader_new,
+};
+
+static PyModuleDef fastx_module = {
+    PyModuleDef_HEAD_INIT,
+    .m_name = "ntlink_fastx",
+    .m_doc = "Native FASTA/FASTQ streaming + 2-bit encoding",
+    .m_size = -1,
+};
+
+PyMODINIT_FUNC PyInit_ntlink_fastx(void)
+{
+    memset(CODE_TAB, 4, sizeof(CODE_TAB));
+    CODE_TAB['A'] = CODE_TAB['a'] = 0;
+    CODE_TAB['C'] = CODE_TAB['c'] = 1;
+    CODE_TAB['G'] = CODE_TAB['g'] = 2;
+    CODE_TAB['T'] = CODE_TAB['t'] = 3;
+
+    if (PyType_Ready(&ReaderType) < 0)
+        return NULL;
+    PyObject *m = PyModule_Create(&fastx_module);
+    if (!m)
+        return NULL;
+    Py_INCREF(&ReaderType);
+    if (PyModule_AddObject(m, "Reader", (PyObject *)&ReaderType) < 0) {
+        Py_DECREF(&ReaderType);
+        Py_DECREF(m);
+        return NULL;
+    }
+    return m;
+}

@@ -54,11 +54,14 @@ def read_scaffold_lengths(path: str) -> Dict[str, int]:
 
 def _host_hit_stream(cfg, index, reads_file):
     """NumPy-backend per-read anchor stream (sketch + dict join on host)."""
-    records = ((rec.name, rec.seq) for rec in stream_fastx(reads_file))
-    for name, read_len, mins in sketch_sequences(records, cfg.k, cfg.w):
+    from .ops import nthash_np
+    from .seqio.fastx import stream_codes
+
+    for name, codes in stream_codes(reads_file):
+        mins = nthash_np.sketch_codes(codes, cfg.k, cfg.w)
         mask = index.member_mask(mins.hashes)
         if not mask.any():
-            yield name, read_len, []
+            yield name, len(codes), []
             continue
         hits = []
         for h, p, f in zip(
@@ -72,7 +75,7 @@ def _host_hit_stream(cfg, index, reads_file):
                     AnchorHit(int(h), entry.position, entry.strand, int(p), yield_strand),
                 )
             )
-        yield name, read_len, hits
+        yield name, len(codes), hits
 
 
 def map_reads(
@@ -110,8 +113,9 @@ def map_reads(
         for reads_file in cfg.reads:
             log("Mapping reads", reads_file)
             if mapper is not None:
-                records = ((rec.name, rec.seq) for rec in stream_fastx(reads_file))
-                hit_stream = mapper.map_stream(records)
+                from .seqio.fastx import stream_codes
+
+                hit_stream = mapper.map_stream(stream_codes(reads_file))
             else:
                 hit_stream = _host_hit_stream(cfg, index, reads_file)
             for name, read_len, hits in hit_stream:

@@ -34,19 +34,51 @@ def open_text_maybe_gzip(path: str) -> io.TextIOBase:
     return io.TextIOWrapper(raw, encoding="ascii")
 
 
-def stream_fastx(source) -> Iterator[FastxRecord]:
-    """Yield records from a path or an open text stream (FASTA or FASTQ)."""
-    close = False
+def stream_fastx(source, native: bool = True) -> Iterator[FastxRecord]:
+    """Yield records from a path or an open text stream (FASTA or FASTQ).
+
+    Paths go through the native C reader (gzip + parse in C) when it is
+    available; streams and fallback use the pure-Python readfq parser.
+    """
     if isinstance(source, str):
+        if native:
+            from ..native import fastx_module
+
+            mod = fastx_module()
+            if mod is not None:
+                for name, comment, seq, qual in mod.Reader(source):
+                    yield FastxRecord(
+                        name,
+                        seq.decode("ascii"),
+                        comment,
+                        qual.decode("ascii") if qual is not None else None,
+                    )
+                return
         fh = open_text_maybe_gzip(source)
-        close = True
-    else:
-        fh = source
-    try:
-        yield from _parse(fh)
-    finally:
-        if close:
+        try:
+            yield from _parse(fh)
+        finally:
             fh.close()
+        return
+    yield from _parse(source)
+
+
+def stream_codes(path: str):
+    """Yield (name, base-code uint8 array) per record — the mapping hot
+    path's input. Uses the native reader's in-C encoder when available."""
+    import numpy as np
+
+    from ..native import fastx_module
+
+    mod = fastx_module()
+    if mod is not None:
+        for name, _, payload, _ in mod.Reader(path, codes=True):
+            yield name, np.frombuffer(payload, dtype=np.uint8)
+        return
+    from ..ops import nthash_np
+
+    for rec in stream_fastx(path, native=False):
+        yield rec.name, nthash_np.encode(rec.seq)
 
 
 def _parse(fh) -> Iterator[FastxRecord]:
