@@ -30,6 +30,7 @@ TARGETS = {
     "extra_clean",
     "run_rounds",
     "run_rounds_gaps",
+    "fac",
     "help",
     "version",
 }
@@ -47,7 +48,7 @@ _BOOL_KEYS = {
 }
 _INT_KEYS = {
     "k", "w", "t", "z", "n", "max_n", "g", "G", "merge_gap", "a", "f",
-    "small_k", "small_w", "gap_k", "gap_w", "rounds", "batch_bases",
+    "small_k", "small_w", "gap_k", "gap_w", "rounds", "batch_bases", "v",
 }
 _FLOAT_KEYS = {"x"}
 
@@ -124,6 +125,18 @@ def main(argv: List[str] | None = None) -> int:
         print(f"ntlink-tpu v{__version__}")
         return 0
 
+    if "fac" in targets:
+        # abyss-fac-equivalent contiguity stats over FASTA files
+        from .seqio import stream_fastx
+        from .stats import FAC_HEADER, fac_row, non_n_length
+
+        files = [t for t in targets if t != "fac"]
+        print(FAC_HEADER)
+        for path in files:
+            lengths = [non_n_length(r.seq) for r in stream_fastx(path)]
+            print(fac_row(lengths, path))
+        return 0
+
     unknown = [t for t in targets if t not in TARGETS]
     if unknown:
         print(f"ERROR: unknown target(s): {' '.join(unknown)}", file=sys.stderr)
@@ -131,6 +144,10 @@ def main(argv: List[str] | None = None) -> int:
 
     cfg = build_config(params)
     rounds = int(params.get("rounds", 5))
+    if cfg.v:
+        from . import tracing
+
+        tracing.enable()
 
     if "clean" in targets or "extra_clean" in targets:
         pipeline.clean_artifacts(cfg, extra="extra_clean" in targets)

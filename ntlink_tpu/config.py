@@ -46,6 +46,8 @@ class ScaffoldConfig:
 
     prefix: Optional[str] = None   # defaults to <target>.k<k>.w<w>.z<z>
 
+    v: int = 0             # v=1: per-stage time/RSS tracing (reference ntLink:100)
+
     # engine knobs (no reference analogue)
     backend: str = "auto"          # "auto" | "jax" | "numpy"
     batch_bases: int = 8_000_000   # device batch budget in bases

@@ -14,6 +14,7 @@ from typing import Dict, Iterable, List, Optional, Tuple
 
 from .config import ScaffoldConfig
 from .graphio import graph_from_tally, largest_ntlink_id, write_dot
+from .tracing import GLOBAL as tracer
 from .index import ContigIndex
 from .mapping import AnchorHit, apply_repeat_filter, chain_read_hits
 from .pairs import PairTally, tally_from_checkpoint
@@ -176,28 +177,32 @@ def pair_stage(cfg: ScaffoldConfig) -> str:
 
     if os.path.exists(checkpoint) and _is_fresh(checkpoint, cfg.target):
         log("Found mapping checkpoint", checkpoint, "- bypassing read mapping")
-        tally = tally_from_checkpoint(checkpoint, contig_lengths, cfg.k, cfg.f)
+        with tracer.stage("pair/checkpoint-tally"):
+            tally = tally_from_checkpoint(checkpoint, contig_lengths, cfg.k, cfg.f)
     else:
-        tsv = ensure_contig_sketch_tsv(cfg, cfg.k, cfg.w)
-        log("Loading contig index", tsv)
-        index = ContigIndex.from_tsv(tsv)
-        log("Index size:", len(index))
-        tally = map_reads(
-            cfg,
-            index,
-            contig_lengths,
-            verbose_path=checkpoint if cfg.verbose else None,
-            paf_path=f"{prefix}.paf" if cfg.paf else None,
-        )
+        with tracer.stage("pair/contig-sketch"):
+            tsv = ensure_contig_sketch_tsv(cfg, cfg.k, cfg.w)
+            log("Loading contig index", tsv)
+            index = ContigIndex.from_tsv(tsv)
+            log("Index size:", len(index))
+        with tracer.stage("pair/map-reads"):
+            tally = map_reads(
+                cfg,
+                index,
+                contig_lengths,
+                verbose_path=checkpoint if cfg.verbose else None,
+                paf_path=f"{prefix}.paf" if cfg.paf else None,
+            )
 
-    tally.filter_distances()
-    tally.filter_weak_anchors(cfg.a)
-    if cfg.pairs_tsv:
-        tally.write_pairs_tsv(f"{prefix}.pairs.tsv")
+    with tracer.stage("pair/graph-build"):
+        tally.filter_distances()
+        tally.filter_weak_anchors(cfg.a)
+        if cfg.pairs_tsv:
+            tally.write_pairs_tsv(f"{prefix}.pairs.tsv")
 
-    graph = graph_from_tally(tally, contig_lengths)
-    graph = graph.filtered_by_weight(int(cfg.n))
-    write_dot(graph, dot_path, largest_ntlink_id(contig_lengths.keys()))
+        graph = graph_from_tally(tally, contig_lengths)
+        graph = graph.filtered_by_weight(int(cfg.n))
+        write_dot(graph, dot_path, largest_ntlink_id(contig_lengths.keys()))
     log("Wrote scaffold graph", dot_path)
     return dot_path
 
@@ -239,16 +244,20 @@ def scaffold_stage(cfg: ScaffoldConfig) -> str:
 
     prefix = cfg.resolved_prefix()
     dot_path = pair_stage(cfg)
-    stitch_path = layout_and_stitch(cfg, dot_path)
+    with tracer.stage("layout+stitch"):
+        stitch_path = layout_and_stitch(cfg, dot_path)
 
     merged = f"{cfg.target}.k{cfg.k}.w{cfg.w}.z{cfg.z}.stitch.abyss-scaffold.fa"
     if cfg.overlap:
         from .overlap import overlap_stage
 
-        trimmed_fa = overlap_stage(cfg, dot_path, stitch_path)
-        merge_contigs(trimmed_fa, f"{prefix}.trimmed_scafs.path", merged)
+        with tracer.stage("overlap-trim"):
+            trimmed_fa = overlap_stage(cfg, dot_path, stitch_path)
+        with tracer.stage("merge"):
+            merge_contigs(trimmed_fa, f"{prefix}.trimmed_scafs.path", merged)
     else:
-        merge_contigs(cfg.target, stitch_path, merged)
+        with tracer.stage("merge"):
+            merge_contigs(cfg.target, stitch_path, merged)
     log("Wrote merged scaffolds", merged)
 
     final = cfg.out_scaffolds()
@@ -279,7 +288,11 @@ def run_scaffold(cfg: ScaffoldConfig, gap_fill: bool = False) -> str:
     if gap_fill:
         if not cfg.overlap:
             raise ValueError("gap_fill requires the overlap trim stage")
-        return gap_fill_stage(cfg)
+        with tracer.stage("gap-fill"):
+            final = gap_fill_stage(cfg)
+    if tracer.enabled:
+        tracer.report()
+        tracer.write_json(f"{cfg.resolved_prefix()}.trace.json")
     return final
 
 
