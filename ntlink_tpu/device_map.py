@@ -161,33 +161,39 @@ class DeviceMapper:
             # single trimmed transfer; pow2 width keeps the slice op cached
             mc = min(slots, _next_pow2(max(1, int(count.max()))))
             anchors = np.asarray(out["anchors"][:, :mc, :])
-            rpos, cid, cpos = anchors[..., 0], anchors[..., 1], anchors[..., 2]
-            sbits = anchors[..., 3]
-            hi = anchors[..., 4].astype(np.uint32).astype(np.uint64)
-            lo = anchors[..., 5].astype(np.uint32).astype(np.uint64)
+            hashes = (
+                (anchors[..., 4].astype(np.uint32).astype(np.uint64) << np.uint64(32))
+                | anchors[..., 5].astype(np.uint32).astype(np.uint64)
+            )
+            names = self.contig_names
             for row, i in rows.items():
+                n = int(count[row])
                 if n_mins[row] > slots:  # slot overflow: redo exactly on host
                     seq_codes = codes[row, : int(lengths[row])].copy()
                     results[i] = self._host_map(seq_codes)
                     continue
-                hits = []
-                for s in range(int(count[row])):
-                    name = self.contig_names[cid[row, s]]
-                    h = int((hi[row, s] << np.uint64(32)) | lo[row, s])
-                    bits = int(sbits[row, s])
-                    hits.append(
-                        (
-                            name,
-                            AnchorHit(
-                                h,
-                                int(cpos[row, s]),
-                                "+" if bits & 1 else "-",
-                                int(rpos[row, s]),
-                                "+" if bits & 2 else "-",
-                            ),
-                        )
+                # bulk-convert the row once; python-level loops over numpy
+                # scalars are ~10x slower than over plain ints
+                rp, cd, cp, sb = (
+                    anchors[row, :n, 0].tolist(),
+                    anchors[row, :n, 1].tolist(),
+                    anchors[row, :n, 2].tolist(),
+                    anchors[row, :n, 3].tolist(),
+                )
+                hs = hashes[row, :n].tolist()
+                results[i] = [
+                    (
+                        names[c],
+                        AnchorHit(
+                            h,
+                            p,
+                            "+" if b & 1 else "-",
+                            r,
+                            "+" if b & 2 else "-",
+                        ),
                     )
-                results[i] = hits
+                    for r, c, p, b, h in zip(rp, cd, cp, sb, hs)
+                ]
 
         def flush_all():
             for pad, idxs in list(buckets.items()):

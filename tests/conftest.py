@@ -16,6 +16,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-REFERENCE_DIR = "/root/reference"
+REFERENCE_DIR = os.environ.get("NTLINK_REFERENCE_DIR", "/root/reference")
 GOLDEN_DIR = os.path.join(REFERENCE_DIR, "tests", "expected_outputs")
 REF_TESTS_DIR = os.path.join(REFERENCE_DIR, "tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Golden-parity tests need the reference checkout; skip cleanly when
+    it isn't mounted (e.g. public CI)."""
+    if os.path.isdir(GOLDEN_DIR):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="reference goldens not available")
+    golden_free = {"test_mapping_modes", "test_layout_stitch"}
+    for item in items:
+        if item.module.__name__ not in golden_free:
+            item.add_marker(skip)
