@@ -76,18 +76,22 @@ class DeviceMapper:
         else:
             import jax
 
-            @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+            # fused Pallas sketch core on real TPU; XLA elsewhere
+            use_pallas = jax.default_backend() not in ("cpu",) and L % 128 == 0
+
+            @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
             def jstep(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
-                      k, w, L_, mask, probes, anchors):
+                      k, w, L_, mask, probes, anchors, pallas_flag):
                 return mapping_step_packed(
                     packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
-                    k, w, L_, mask, probes, anchors,
+                    k, w, L_, mask, probes, anchors, use_pallas=pallas_flag,
                 )
 
             d = self.didx
             step = lambda packed, lengths, didx: jstep(
                 packed, lengths, d.t_hi, d.t_lo, d.t_cid, d.t_pos, d.t_strand,
                 self.k, self.w, L, d.mask, d.max_probes, key[1],
+                use_pallas and packed.shape[0] % 8 == 0,
             )
         self._steps[key] = step
         return step

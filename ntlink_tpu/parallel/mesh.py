@@ -138,15 +138,25 @@ def unpack_codes(packed: jnp.ndarray, L: int) -> jnp.ndarray:
 
 def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
                         k: int, w: int, L: int, mask: int, max_probes: int,
-                        max_anchors: int):
+                        max_anchors: int, use_pallas: bool = False):
     """Fused mapping step: unpack -> sketch -> compact minimizers ->
     hash-join -> compact matches. All outputs are O(anchors), not O(bases).
 
     Returns per-read `count` plus `max_anchors`-slot arrays: read positions,
     contig ids / positions / strands, read strands, matched hash halves.
+    `use_pallas` selects the fused Pallas sketch core (TPU only).
     """
     codes = unpack_codes(packed, L)
-    out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
+    if use_pallas:
+        from ..ops.sketch_pallas import sketch_batch_pallas
+
+        out_hi, out_lo, fwd, winner, emit = sketch_batch_pallas(
+            codes, lengths, k, w, False
+        )
+    else:
+        out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(
+            codes, lengths, k, w
+        )
 
     # compact selected minimizers (order-preserving): ~2L/w of L-k+1 windows
     B, NW = emit.shape
