@@ -121,17 +121,28 @@ def device_run() -> None:
     """Child-process entry: device mapping throughput, one JSON line."""
     from ntlink_tpu.config import ScaffoldConfig
     from ntlink_tpu.device_map import DeviceMapper
+    from ntlink_tpu.seqio.fastx import stream_codes
 
     contigs, reads, contig_lengths, index = build_workload()
+    # production input path: reads come from a FASTA through the native
+    # C reader (parse + 2-bit encode in C)
+    reads_fa = "/tmp/ntlink_bench_reads.fa"
+    with open(reads_fa, "w") as fh:
+        for name, seq in reads:
+            fh.write(f">{name}\n{seq}\n")
     cfg = ScaffoldConfig(k=K, w=W, z=Z)
     import jax
 
     device_kind = jax.devices()[0].device_kind
     mapper = DeviceMapper(index, K, W, batch_bases=16_000_000)
     run_mapping(contigs, reads[:64], index, contig_lengths, cfg, mapper)  # warmup
+
+    def stream():
+        return stream_codes(reads_fa)
+
     t0 = time.time()
     n_reads, n_bases, tally = run_mapping(
-        contigs, reads, index, contig_lengths, cfg, mapper
+        contigs, stream(), index, contig_lengths, cfg, mapper
     )
     dev_t = time.time() - t0
     print(

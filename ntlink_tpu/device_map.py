@@ -135,6 +135,10 @@ class DeviceMapper:
 
         in_flight: List[tuple] = []  # double-buffer: overlap device + host
 
+        from .native import fastx_module
+
+        native = fastx_module()
+
         def flush_bucket(pad: int, idxs: List[int]) -> None:
             # fixed batch height per bucket: exactly one compile per bucket
             B = max(
@@ -142,23 +146,31 @@ class DeviceMapper:
                 _next_pow2(max(1, self.batch_bases // pad)),
             )
             assert len(idxs) <= B
-            codes = np.zeros((B, pad), dtype=np.uint8)
+            row_codes = [encoded.pop(i) for i in idxs]
             lengths = np.zeros(B, dtype=np.int32)
-            rows = {}
-            for row, i in enumerate(idxs):
-                c = encoded.pop(i)
-                codes[row, : len(c)] = c
-                lengths[row] = len(c)
-                rows[row] = i
+            lengths[: len(idxs)] = [len(c) for c in row_codes]
+            rows = dict(enumerate(idxs))
+            if native is not None:
+                buf = native.pack_batch(row_codes, pad)
+                packed = np.frombuffer(buf, dtype=np.uint8).reshape(-1, pad // 4)
+                if packed.shape[0] < B:
+                    packed = np.vstack(
+                        [packed, np.zeros((B - packed.shape[0], pad // 4), np.uint8)]
+                    )
+            else:
+                codes = np.zeros((B, pad), dtype=np.uint8)
+                for row, c in enumerate(row_codes):
+                    codes[row, : len(c)] = c
+                packed = pack_codes(codes)
             step = self._step_for(pad)
             out = step(
-                jnp.asarray(pack_codes(codes)), jnp.asarray(lengths), self.didx
+                jnp.asarray(packed), jnp.asarray(lengths), self.didx
             )  # async dispatch
-            in_flight.append((out, rows, codes, lengths))
+            in_flight.append((out, rows, row_codes, lengths))
             if len(in_flight) > 1:
                 drain(*in_flight.pop(0))
 
-        def drain(out, rows, codes, lengths) -> None:
+        def drain(out, rows, row_codes, lengths) -> None:
             count = np.asarray(out["count"])
             n_mins = np.asarray(out["n_minimizers"])
             slots = int(out["anchors"].shape[1])
@@ -173,8 +185,7 @@ class DeviceMapper:
             for row, i in rows.items():
                 n = int(count[row])
                 if n_mins[row] > slots:  # slot overflow: redo exactly on host
-                    seq_codes = codes[row, : int(lengths[row])].copy()
-                    results[i] = self._host_map(seq_codes)
+                    results[i] = self._host_map(row_codes[row])
                     continue
                 # bulk-convert the row once; python-level loops over numpy
                 # scalars are ~10x slower than over plain ints

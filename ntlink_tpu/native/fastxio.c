@@ -311,11 +311,72 @@ static PyTypeObject ReaderType = {
     .tp_new = Reader_new,
 };
 
+/* pack_batch(rows: list[bytes of base codes], pad: int) -> bytes
+ *
+ * Builds a (len(rows), pad/4) 2-bit-packed matrix in one pass: row r's
+ * codes occupy its first len(codes) bases, the rest is A(0) padding. pad
+ * must be a multiple of 4. Bases > 3 are masked to 0 (callers route
+ * N-containing reads elsewhere). */
+static PyObject *py_pack_batch(PyObject *self, PyObject *args)
+{
+    PyObject *rows;
+    Py_ssize_t pad;
+    if (!PyArg_ParseTuple(args, "On", &rows, &pad))
+        return NULL;
+    if (pad % 4 != 0) {
+        PyErr_SetString(PyExc_ValueError, "pad must be a multiple of 4");
+        return NULL;
+    }
+    Py_ssize_t nrows = PySequence_Length(rows);
+    if (nrows < 0)
+        return NULL;
+    Py_ssize_t stride = pad / 4;
+    PyObject *out = PyBytes_FromStringAndSize(NULL, nrows * stride);
+    if (!out)
+        return NULL;
+    unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
+    memset(dst, 0, (size_t)(nrows * stride));
+    for (Py_ssize_t r = 0; r < nrows; r++) {
+        PyObject *item = PySequence_GetItem(rows, r);
+        if (!item) {
+            Py_DECREF(out);
+            return NULL;
+        }
+        Py_buffer view;
+        if (PyObject_GetBuffer(item, &view, PyBUF_SIMPLE) < 0) {
+            Py_DECREF(item);
+            Py_DECREF(out);
+            return NULL;
+        }
+        const unsigned char *src = view.buf;
+        Py_ssize_t n = view.len < pad ? view.len : pad;
+        unsigned char *row_dst = dst + r * stride;
+        Py_ssize_t full = n / 4;
+        for (Py_ssize_t i = 0; i < full; i++) {
+            const unsigned char *s = src + 4 * i;
+            row_dst[i] = (unsigned char)(((s[0] & 3)) | ((s[1] & 3) << 2) |
+                                         ((s[2] & 3) << 4) | ((s[3] & 3) << 6));
+        }
+        for (Py_ssize_t b = full * 4; b < n; b++)
+            row_dst[b / 4] |= (unsigned char)((src[b] & 3) << (2 * (b % 4)));
+        PyBuffer_Release(&view);
+        Py_DECREF(item);
+    }
+    return out;
+}
+
+static PyMethodDef fastx_methods[] = {
+    {"pack_batch", py_pack_batch, METH_VARARGS,
+     "pack_batch(rows, pad) -> packed bytes matrix"},
+    {NULL, NULL, 0, NULL},
+};
+
 static PyModuleDef fastx_module = {
     PyModuleDef_HEAD_INIT,
     .m_name = "ntlink_fastx",
     .m_doc = "Native FASTA/FASTQ streaming + 2-bit encoding",
     .m_size = -1,
+    .m_methods = fastx_methods,
 };
 
 PyMODINIT_FUNC PyInit_ntlink_fastx(void)
