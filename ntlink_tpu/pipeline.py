@@ -180,19 +180,38 @@ def pair_stage(cfg: ScaffoldConfig) -> str:
         with tracer.stage("pair/checkpoint-tally"):
             tally = tally_from_checkpoint(checkpoint, contig_lengths, cfg.k, cfg.f)
     else:
+        from .parallel.distributed import (
+            all_gather_tallies,
+            maybe_init_distributed,
+            shard_read_files,
+        )
+
+        process_id, n_processes = maybe_init_distributed()
+        map_cfg = cfg
+        if n_processes > 1:
+            import dataclasses
+
+            map_cfg = dataclasses.replace(
+                cfg, reads=shard_read_files(cfg.reads, process_id, n_processes)
+            )
+            log(f"Host {process_id}/{n_processes} mapping", map_cfg.reads)
         with tracer.stage("pair/contig-sketch"):
             tsv = ensure_contig_sketch_tsv(cfg, cfg.k, cfg.w)
             log("Loading contig index", tsv)
             index = ContigIndex.from_tsv(tsv)
             log("Index size:", len(index))
+        part = f".part{process_id}" if n_processes > 1 else ""
         with tracer.stage("pair/map-reads"):
             tally = map_reads(
-                cfg,
+                map_cfg,
                 index,
                 contig_lengths,
-                verbose_path=checkpoint if cfg.verbose else None,
-                paf_path=f"{prefix}.paf" if cfg.paf else None,
+                verbose_path=(checkpoint + part) if cfg.verbose else None,
+                paf_path=f"{prefix}.paf{part}" if cfg.paf else None,
             )
+        if n_processes > 1:
+            with tracer.stage("pair/tally-allgather"):
+                tally = all_gather_tallies(tally)
 
     with tracer.stage("pair/graph-build"):
         tally.filter_distances()
