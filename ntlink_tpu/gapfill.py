@@ -348,14 +348,16 @@ def refine_cuts(
                     )
                 )
         lengths = {name: seq.length for name, seq in sequences.items()}
+        # NB: the reference pipeline never forwards -z/-x/--sensitive to the
+        # gap-fill re-mapping (ntLink:266-269); its own defaults apply.
         runs = chain_read_hits(
             hits,
             len(r_masked),
             lengths,
             gap_k,
-            cfg.z,
-            x=cfg.x,
-            sensitive=cfg.sensitive,
+            z=1000,
+            x=0.0,
+            sensitive=False,
         )
         if len(runs) != 2:
             if cfg.stringent:

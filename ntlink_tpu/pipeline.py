@@ -173,6 +173,15 @@ def pair_stage(cfg: ScaffoldConfig) -> str:
     dot_path = f"{prefix}.n{cfg.n}.scaffold.dot"
     checkpoint = f"{prefix}.verbose_mapping.tsv"
 
+    wanted = [dot_path]
+    if cfg.paf:
+        wanted.append(f"{prefix}.paf")
+    if cfg.pairs_tsv:
+        wanted.append(f"{prefix}.pairs.tsv")
+    if all(_is_fresh(p, cfg.target, *cfg.reads) for p in wanted):
+        log("Reusing scaffold graph", dot_path)
+        return dot_path
+
     contig_lengths = read_scaffold_lengths(cfg.target)
 
     if os.path.exists(checkpoint) and _is_fresh(checkpoint, cfg.target):
@@ -234,6 +243,9 @@ def layout_and_stitch(cfg: ScaffoldConfig, dot_path: str) -> str:
 
     prefix = cfg.resolved_prefix()
     stitch_path = f"{prefix}.stitch.path"
+    if _is_fresh(stitch_path, dot_path, cfg.target):
+        log("Reusing stitched paths", stitch_path)
+        return stitch_path
     graph = read_dot(dot_path)
     contig_lengths = read_scaffold_lengths(cfg.target)
     log("Layout n-sweep", f"n={cfg.n}..{cfg.max_n}")
@@ -270,14 +282,27 @@ def scaffold_stage(cfg: ScaffoldConfig) -> str:
     if cfg.overlap:
         from .overlap import overlap_stage
 
-        with tracer.stage("overlap-trim"):
-            trimmed_fa = overlap_stage(cfg, dot_path, stitch_path)
-        with tracer.stage("merge"):
-            merge_contigs(trimmed_fa, f"{prefix}.trimmed_scafs.path", merged)
+        trimmed_fa = f"{prefix}.trimmed_scafs.fa"
+        trimmed_path = f"{prefix}.trimmed_scafs.path"
+        if _is_fresh(trimmed_fa, stitch_path, dot_path, cfg.target) and _is_fresh(
+            trimmed_path, stitch_path
+        ):
+            log("Reusing trimmed scaffolds", trimmed_fa)
+        else:
+            with tracer.stage("overlap-trim"):
+                trimmed_fa = overlap_stage(cfg, dot_path, stitch_path)
+        if _is_fresh(merged, trimmed_fa, trimmed_path):
+            log("Reusing merged scaffolds", merged)
+        else:
+            with tracer.stage("merge"):
+                merge_contigs(trimmed_fa, trimmed_path, merged)
     else:
-        with tracer.stage("merge"):
-            merge_contigs(cfg.target, stitch_path, merged)
-    log("Wrote merged scaffolds", merged)
+        if _is_fresh(merged, cfg.target, stitch_path):
+            log("Reusing merged scaffolds", merged)
+        else:
+            with tracer.stage("merge"):
+                merge_contigs(cfg.target, stitch_path, merged)
+    log("Merged scaffolds at", merged)
 
     final = cfg.out_scaffolds()
     if os.path.islink(final) or os.path.exists(final):
