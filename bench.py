@@ -167,7 +167,7 @@ def main():
                 [sys.executable, os.path.abspath(__file__), "--device"],
                 capture_output=True,
                 text=True,
-                timeout=420,
+                timeout=300,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             for line in proc.stderr.splitlines():
