@@ -19,11 +19,10 @@ anchor hits — the exact payload of a verbose_mapping.tsv row.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 
-@dataclass(frozen=True)
-class AnchorHit:
+class AnchorHit(NamedTuple):
     """One matched minimizer between a read and a contig."""
 
     mx: int            # minimizer hash (0 for synthesized checkpoint hits)

@@ -1,0 +1,103 @@
+"""Robustness edge cases: empty graphs, unmappable reads, tiny inputs."""
+import os
+import random
+import shutil
+
+from ntlink_tpu.config import ScaffoldConfig
+from ntlink_tpu.pipeline import run_scaffold, scaffold_stage
+from ntlink_tpu.seqio import stream_fastx
+
+from conftest import REF_TESTS_DIR
+
+
+def write_fasta(path, records):
+    with open(path, "w") as fh:
+        for name, seq in records:
+            fh.write(f">{name}\n{seq}\n")
+
+
+def random_seq(rng, n):
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def test_no_mappable_reads_passthrough(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = random.Random(1)
+    contigs = [("c1", random_seq(rng, 3000)), ("c2", random_seq(rng, 2500))]
+    write_fasta("target.fa", contigs)
+    # reads unrelated to the target: no anchors, empty graph
+    write_fasta("reads.fa", [("r1", random_seq(rng, 2000))])
+    cfg = ScaffoldConfig(
+        target="target.fa", reads=["reads.fa"], k=32, w=100, z=1000,
+        backend="numpy",
+    )
+    final = scaffold_stage(cfg)
+    out = {r.name: r.seq for r in stream_fastx(os.path.realpath(final))}
+    # all contigs pass through unjoined
+    assert {n.split()[0] for n in out} == {"c1", "c2"}
+    assert sorted(out.values()) == sorted(s for _, s in contigs)
+
+
+def test_contigs_shorter_than_k(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = random.Random(2)
+    write_fasta("target.fa", [("tiny", "ACGT"), ("c1", random_seq(rng, 3000))])
+    write_fasta("reads.fa", [("r1", random_seq(rng, 1500))])
+    cfg = ScaffoldConfig(
+        target="target.fa", reads=["reads.fa"], k=32, w=100, z=1000,
+        backend="numpy",
+    )
+    final = scaffold_stage(cfg)
+    out = {r.name.split()[0] for r in stream_fastx(os.path.realpath(final))}
+    assert out == {"tiny", "c1"}
+
+
+def test_gap_fill_with_no_fillable_gaps(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = random.Random(3)
+    write_fasta("target.fa", [("c1", random_seq(rng, 3000))])
+    write_fasta("reads.fa", [("r1", random_seq(rng, 1500))])
+    cfg = ScaffoldConfig(
+        target="target.fa", reads=["reads.fa"], k=32, w=100, z=1000,
+        backend="numpy",
+    )
+    out = run_scaffold(cfg, gap_fill=True)
+    assert os.path.exists(out)
+    assert os.path.exists(out + ".agp")
+
+
+def test_empty_reads_file(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = random.Random(4)
+    write_fasta("target.fa", [("c1", random_seq(rng, 3000))])
+    open("reads.fa", "w").close()
+    cfg = ScaffoldConfig(
+        target="target.fa", reads=["reads.fa"], k=32, w=100, z=1000,
+        backend="numpy",
+    )
+    final = scaffold_stage(cfg)
+    assert os.path.exists(os.path.realpath(final))
+
+
+def test_cli_drop_in(tmp_path, monkeypatch):
+    import subprocess
+    import sys
+
+    for f in ("scaffolds_1.fa", "long_reads_1.fa"):
+        shutil.copy(os.path.join(REF_TESTS_DIR, f), tmp_path / f)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [
+            "/root/repo/ntLink", "scaffold",
+            "target=scaffolds_1.fa", "reads=long_reads_1.fa",
+            "w=250", "backend=numpy", "-B",
+        ],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert (tmp_path / "scaffolds_1.fa.k32.w250.z1000.ntLink.scaffolds.fa").exists()
