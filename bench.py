@@ -118,33 +118,43 @@ def build_workload():
 
 
 def device_run() -> None:
-    """Child-process entry: device mapping throughput, one JSON line."""
+    """Child-process entry: device mapping throughput, one JSON line.
+
+    Exercises the full production path: native C FASTA reader -> packed
+    device batches -> fused sketch+join -> native C chaining with verbose
+    rendering -> pair tally (pipeline.map_reads).
+    """
+    from ntlink_tpu import pipeline
     from ntlink_tpu.config import ScaffoldConfig
-    from ntlink_tpu.device_map import DeviceMapper
-    from ntlink_tpu.seqio.fastx import stream_codes
 
     contigs, reads, contig_lengths, index = build_workload()
-    # production input path: reads come from a FASTA through the native
-    # C reader (parse + 2-bit encode in C)
     reads_fa = "/tmp/ntlink_bench_reads.fa"
     with open(reads_fa, "w") as fh:
         for name, seq in reads:
             fh.write(f">{name}\n{seq}\n")
-    cfg = ScaffoldConfig(k=K, w=W, z=Z)
+    n_bases = sum(len(s) for _, s in reads)
+    cfg = ScaffoldConfig(
+        k=K, w=W, z=Z, reads=[reads_fa], batch_bases=16_000_000
+    )
     import jax
 
     device_kind = jax.devices()[0].device_kind
-    mapper = DeviceMapper(index, K, W, batch_bases=16_000_000)
-    run_mapping(contigs, reads[:64], index, contig_lengths, cfg, mapper)  # warmup
-
-    def stream():
-        return stream_codes(reads_fa)
+    # warmup (compiles the bucket shapes used by the run)
+    warm_fa = "/tmp/ntlink_bench_warm.fa"
+    with open(warm_fa, "w") as fh:
+        for name, seq in reads[:64]:
+            fh.write(f">{name}\n{seq}\n")
+    warm_cfg = ScaffoldConfig(
+        k=K, w=W, z=Z, reads=[warm_fa], batch_bases=16_000_000
+    )
+    pipeline.map_reads(warm_cfg, index, contig_lengths, None, None)
 
     t0 = time.time()
-    n_reads, n_bases, tally = run_mapping(
-        contigs, stream(), index, contig_lengths, cfg, mapper
+    tally = pipeline.map_reads(
+        cfg, index, contig_lengths, "/tmp/ntlink_bench.verbose.tsv", None
     )
     dev_t = time.time() - t0
+    n_reads = len(reads)
     print(
         f"# device[{device_kind}]: {n_reads} reads {n_bases/1e6:.0f} Mbase in "
         f"{dev_t:.2f}s -> {n_reads/dev_t:.0f} reads/s, "

@@ -31,6 +31,25 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+@functools.lru_cache(maxsize=1)
+def _single_device_step():
+    """Module-level jitted mapping step: one compile cache shared by every
+    DeviceMapper instance (per distinct static shapes/params)."""
+    import jax
+
+    from .parallel.mesh import mapping_step_packed
+
+    @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
+    def jstep(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+              k, w, L_, mask, probes, anchors, pallas_flag):
+        return mapping_step_packed(
+            packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+            k, w, L_, mask, probes, anchors, use_pallas=pallas_flag,
+        )
+
+    return jstep
+
+
 class DeviceMapper:
     MIN_PAD = 1 << 10
     MAX_PAD = 1 << 21
@@ -50,6 +69,7 @@ class DeviceMapper:
             if entry.contig not in order:
                 order[entry.contig] = len(self.contig_names)
                 self.contig_names.append(entry.contig)
+        self._contig_order = order
         self.didx = DeviceIndex.from_contig_index(index, order)
         self.n_devices = len(jax.devices()) if use_mesh else 1
         self._steps: Dict[Tuple[int, int], object] = {}
@@ -62,11 +82,7 @@ class DeviceMapper:
         key = (L, self._slots_for(L))
         if key in self._steps:
             return self._steps[key]
-        from .parallel.mesh import (
-            make_mesh,
-            make_sharded_mapping_step,
-            mapping_step_packed,
-        )
+        from .parallel.mesh import make_mesh, make_sharded_mapping_step
 
         if self.n_devices > 1:
             step = make_sharded_mapping_step(
@@ -78,15 +94,7 @@ class DeviceMapper:
 
             # fused Pallas sketch core on real TPU; XLA elsewhere
             use_pallas = jax.default_backend() not in ("cpu",) and L % 128 == 0
-
-            @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
-            def jstep(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
-                      k, w, L_, mask, probes, anchors, pallas_flag):
-                return mapping_step_packed(
-                    packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
-                    k, w, L_, mask, probes, anchors, use_pallas=pallas_flag,
-                )
-
+            jstep = _single_device_step()
             d = self.didx
             step = lambda packed, lengths, didx: jstep(
                 packed, lengths, d.t_hi, d.t_lo, d.t_cid, d.t_pos, d.t_strand,
@@ -98,20 +106,28 @@ class DeviceMapper:
 
     # -- host fallback ----------------------------------------------------
 
-    def _host_map(self, codes: np.ndarray):
+    def _host_map_raw(self, codes: np.ndarray):
+        """NumPy fallback producing the raw array payload (exact path)."""
         mins = nthash_np.sketch_codes(codes, self.k, self.w)
         mask = self.index.member_mask(mins.hashes)
-        out = []
-        for h, p, f in zip(
-            mins.hashes[mask].tolist(),
-            mins.positions[mask].tolist(),
-            mins.forward[mask].tolist(),
-        ):
+        if not mask.any():
+            return None
+        hashes = mins.hashes[mask]
+        n = int(hashes.shape[0])
+        rpos = mins.positions[mask].astype(np.int32)
+        rstrand = mins.forward[mask]
+        cid = np.empty(n, np.int32)
+        cpos = np.empty(n, np.int32)
+        sbits = np.empty(n, np.int32)
+        order = self._contig_order
+        for j, h in enumerate(hashes.tolist()):
             e = self.index.get(h)
-            out.append(
-                (e.contig, AnchorHit(h, e.position, e.strand, p, "+" if f else "-"))
-            )
-        return out
+            cid[j] = order[e.contig]
+            cpos[j] = e.position
+            sbits[j] = (1 if e.strand == "+" else 0) | (2 if rstrand[j] else 0)
+        hi = (hashes >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        lo = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        return (n, rpos, cid, cpos, sbits, hi, lo)
 
     def _pad_len(self, n: int) -> int:
         p = self.MIN_PAD
@@ -123,6 +139,42 @@ class DeviceMapper:
         self, named_seqs: Iterable[Tuple[str, str]]
     ) -> Iterator[Tuple[str, int, List[Tuple[str, AnchorHit]]]]:
         """Yield (read_name, read_len, [(contig, AnchorHit)...]) in order."""
+        names = self.contig_names
+        for name, length, raw in self.map_stream_raw(named_seqs):
+            if raw is None:
+                yield name, length, []
+                continue
+            n, rpos, cid, cpos, sbits, hi, lo = raw
+            hits = [
+                (
+                    names[c],
+                    AnchorHit(
+                        h,
+                        p,
+                        "+" if b & 1 else "-",
+                        r,
+                        "+" if b & 2 else "-",
+                    ),
+                )
+                for r, c, p, b, h in zip(
+                    rpos[:n].tolist(),
+                    cid[:n].tolist(),
+                    cpos[:n].tolist(),
+                    sbits[:n].tolist(),
+                    (
+                        (hi[:n].view(np.uint32).astype(np.uint64) << np.uint64(32))
+                        | lo[:n].view(np.uint32).astype(np.uint64)
+                    ).tolist(),
+                )
+            ]
+            yield name, length, hits
+
+    def map_stream_raw(
+        self, named_seqs: Iterable[Tuple[str, str]]
+    ):
+        """Yield (read_name, read_len, raw) where raw is None or
+        (n, rpos, cid, cpos, sbits, mx_hi, mx_lo) — contiguous int32/uint32
+        array slices, no per-hit Python objects."""
         import jax
         import jax.numpy as jnp
 
@@ -173,42 +225,22 @@ class DeviceMapper:
         def drain(out, rows, row_codes, lengths) -> None:
             count = np.asarray(out["count"])
             n_mins = np.asarray(out["n_minimizers"])
-            slots = int(out["anchors"].shape[1])
+            slots = int(out["anchors"].shape[2])
             # single trimmed transfer; pow2 width keeps the slice op cached
             mc = min(slots, _next_pow2(max(1, int(count.max()))))
-            anchors = np.asarray(out["anchors"][:, :mc, :])
-            hashes = (
-                (anchors[..., 4].astype(np.uint32).astype(np.uint64) << np.uint64(32))
-                | anchors[..., 5].astype(np.uint32).astype(np.uint64)
-            )
-            names = self.contig_names
+            anchors = np.ascontiguousarray(out["anchors"][:, :, :mc])
             for row, i in rows.items():
                 n = int(count[row])
                 if n_mins[row] > slots:  # slot overflow: redo exactly on host
-                    results[i] = self._host_map(row_codes[row])
+                    results[i] = self._host_map_raw(row_codes[row])
                     continue
-                # bulk-convert the row once; python-level loops over numpy
-                # scalars are ~10x slower than over plain ints
-                rp, cd, cp, sb = (
-                    anchors[row, :n, 0].tolist(),
-                    anchors[row, :n, 1].tolist(),
-                    anchors[row, :n, 2].tolist(),
-                    anchors[row, :n, 3].tolist(),
+                if n == 0:
+                    results[i] = None
+                    continue
+                a = anchors[row]
+                results[i] = (
+                    n, a[0, :n], a[1, :n], a[2, :n], a[3, :n], a[4, :n], a[5, :n]
                 )
-                hs = hashes[row, :n].tolist()
-                results[i] = [
-                    (
-                        names[c],
-                        AnchorHit(
-                            h,
-                            p,
-                            "+" if b & 1 else "-",
-                            r,
-                            "+" if b & 2 else "-",
-                        ),
-                    )
-                    for r, c, p, b, h in zip(rp, cd, cp, sb, hs)
-                ]
 
         def flush_all():
             for pad, idxs in list(buckets.items()):
@@ -237,7 +269,7 @@ class DeviceMapper:
                 or len(seq) > self.MAX_PAD
                 or (codes > 3).any()
             ):
-                results[i] = self._host_map(codes)
+                results[i] = self._host_map_raw(codes)
                 continue
             encoded[i] = codes
             pad = self._pad_len(len(seq))

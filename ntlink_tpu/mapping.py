@@ -60,6 +60,19 @@ class ContigRun:
         )
 
 
+class RunView:
+    """Light run summary for the native chaining fast path: exposes exactly
+    the attributes the pair tally consumes (pairs.PairTally._add)."""
+
+    __slots__ = ("contig", "hit_count", "first_hit", "terminal_hit")
+
+    def __init__(self, contig, hit_count, first_hit, terminal_hit):
+        self.contig = contig
+        self.hit_count = hit_count
+        self.first_hit = first_hit
+        self.terminal_hit = terminal_hit
+
+
 def parse_hits_string(text: str) -> List[AnchorHit]:
     """Inverse of ContigRun.hits_string (reference ntlink_utils.py:296-305)."""
     hits = []

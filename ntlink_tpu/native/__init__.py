@@ -2,19 +2,25 @@
 Python fallback."""
 from __future__ import annotations
 
-_fastx = None
-_tried = False
+_modules = {}
+
+
+def _get(name: str):
+    if name not in _modules:
+        try:
+            from . import build
+
+            _modules[name] = build.load(name)
+        except Exception:
+            _modules[name] = None
+    return _modules[name]
 
 
 def fastx_module():
     """The compiled ntlink_fastx module, or None if unavailable."""
-    global _fastx, _tried
-    if not _tried:
-        _tried = True
-        try:
-            from . import build
+    return _get("ntlink_fastx")
 
-            _fastx = build.load()
-        except Exception:
-            _fastx = None
-    return _fastx
+
+def chain_module():
+    """The compiled ntlink_chain module, or None if unavailable."""
+    return _get("ntlink_chain")

@@ -12,12 +12,18 @@ import sysconfig
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
+MODULES = {
+    "ntlink_fastx": ("fastxio.c", ["-lz"]),
+    "ntlink_chain": ("chain.c", []),
+}
 
-def build(verbose: bool = False) -> str:
+
+def build(name: str = "ntlink_fastx", verbose: bool = False) -> str:
     """Compile (if needed) and return the extension path."""
+    src_name, libs = MODULES[name]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    out = os.path.join(_DIR, f"ntlink_fastx{suffix}")
-    src = os.path.join(_DIR, "fastxio.c")
+    out = os.path.join(_DIR, f"{name}{suffix}")
+    src = os.path.join(_DIR, src_name)
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     include = sysconfig.get_paths()["include"]
@@ -28,7 +34,7 @@ def build(verbose: bool = False) -> str:
         "-shared",
         f"-I{include}",
         src,
-        "-lz",
+        *libs,
         "-o",
         out,
     ]
@@ -36,12 +42,12 @@ def build(verbose: bool = False) -> str:
     return out
 
 
-def load():
-    """Import the native module, building it if necessary. May raise."""
+def load(name: str = "ntlink_fastx"):
+    """Import a native module, building it if necessary. May raise."""
     import importlib.util
 
-    path = build()
-    spec = importlib.util.spec_from_file_location("ntlink_fastx", path)
+    path = build(name)
+    spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod

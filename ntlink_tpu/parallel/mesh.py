@@ -191,8 +191,8 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
             take(q_hi).astype(jnp.int32),
             take(q_lo).astype(jnp.int32),
         ],
-        axis=2,
-    )  # (B, S, 6) int32
+        axis=1,
+    )  # (B, 6, S) int32: per-read column slices stay contiguous on host
     return {
         "count": found.sum(axis=1).astype(jnp.int32),
         "n_minimizers": n_minimizers,  # overflow check: > max_anchors

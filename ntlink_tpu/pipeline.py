@@ -109,8 +109,90 @@ def map_reads(
                 raise
             log("Device backend unavailable, using NumPy:", exc)
 
+    # native fast path: per-read chaining + verbose rendering in C over the
+    # raw anchor arrays (no per-hit Python); PAF/repeat modes need per-hit
+    # objects and use the general path
+    chainer = None
+    if mapper is not None and not cfg.paf and not cfg.repeats:
+        from .native import chain_module
+
+        chain_mod = chain_module()
+        if chain_mod is not None:
+            import numpy as _np
+
+            clen = _np.zeros(len(mapper.contig_names), dtype=_np.int32)
+            for name_, idx_ in mapper._contig_order.items():
+                clen[idx_] = contig_lengths[name_]
+            chainer = chain_mod.Chainer(clen, mapper.contig_names)
+
     n_reads = 0
     try:
+        if chainer is not None:
+            from .mapping import AnchorHit as _AH, RunView
+
+            names = mapper.contig_names
+            for reads_file in cfg.reads:
+                log("Mapping reads", reads_file, "(native chain)")
+                from .seqio.fastx import stream_codes
+
+                for name, read_len, raw in mapper.map_stream_raw(
+                    stream_codes(reads_file)
+                ):
+                    n_reads += 1
+                    if raw is None:
+                        continue
+                    n, rpos, cid, cpos, sbits, _, _ = raw
+                    try:
+                        runs_raw, vbytes = chainer.chain(
+                            cid, cpos, rpos, sbits, n, read_len, cfg.k, cfg.z,
+                            1 if cfg.sensitive else 0, float(cfg.x),
+                            name if verbose_fh else None,
+                        )
+                    except OverflowError:
+                        # >256 distinct contigs on one read: exact python path
+                        hits = [
+                            (
+                                names[c],
+                                _AH(0, p, "+" if b & 1 else "-", r,
+                                    "+" if b & 2 else "-"),
+                            )
+                            for r, c, p, b in zip(
+                                rpos[:n].tolist(), cid[:n].tolist(),
+                                cpos[:n].tolist(), sbits[:n].tolist(),
+                            )
+                        ]
+                        full_runs = chain_read_hits(
+                            hits, read_len, contig_lengths, cfg.k, cfg.z,
+                            x=cfg.x, sensitive=cfg.sensitive,
+                        )
+                        if not full_runs:
+                            continue
+                        if verbose_fh:
+                            for run in full_runs:
+                                verbose_fh.write(
+                                    f"{name}\t{run.contig}\t{run.hit_count}\t"
+                                    f"{run.hits_string()}\n"
+                                )
+                        tally.add_read(full_runs, read_len)
+                        continue
+                    if not runs_raw:
+                        continue
+                    if verbose_fh and vbytes is not None:
+                        verbose_fh.write(vbytes.decode("ascii"))
+                    runs = [
+                        RunView(
+                            names[c],
+                            cnt,
+                            _AH(0, fc, "+" if fb & 1 else "-", fr,
+                                "+" if fb & 2 else "-"),
+                            _AH(0, lc, "+" if lb & 1 else "-", lr,
+                                "+" if lb & 2 else "-"),
+                        )
+                        for c, cnt, fc, fr, fb, lc, lr, lb in runs_raw
+                    ]
+                    tally.add_read(runs, read_len)
+            log("Mapped", n_reads, "reads")
+            return tally
         for reads_file in cfg.reads:
             log("Mapping reads", reads_file)
             if mapper is not None:
