@@ -63,14 +63,10 @@ class DeviceMapper:
         self.index = index
         self.k, self.w = k, w
         self.batch_bases = batch_bases
-        self.contig_names: List[str] = []
-        order: Dict[str, int] = {}
-        for entry in index._table.values():
-            if entry.contig not in order:
-                order[entry.contig] = len(self.contig_names)
-                self.contig_names.append(entry.contig)
-        self._contig_order = order
-        self.didx = DeviceIndex.from_contig_index(index, order)
+        index.finalize()
+        self.contig_names: List[str] = index.contig_names
+        self._contig_order = {n: i for i, n in enumerate(index.contig_names)}
+        self.didx = DeviceIndex.from_contig_index(index)
         self.n_devices = len(jax.devices()) if use_mesh else 1
         self._steps: Dict[Tuple[int, int], object] = {}
 
@@ -109,25 +105,27 @@ class DeviceMapper:
     def _host_map_raw(self, codes: np.ndarray):
         """NumPy fallback producing the raw array payload (exact path)."""
         mins = nthash_np.sketch_codes(codes, self.k, self.w)
-        mask = self.index.member_mask(mins.hashes)
-        if not mask.any():
+        found, cid, cpos, cstrand = self.index.lookup_many(mins.hashes)
+        if not found.any():
             return None
-        hashes = mins.hashes[mask]
+        hashes = mins.hashes[found]
         n = int(hashes.shape[0])
-        rpos = mins.positions[mask].astype(np.int32)
-        rstrand = mins.forward[mask]
-        cid = np.empty(n, np.int32)
-        cpos = np.empty(n, np.int32)
-        sbits = np.empty(n, np.int32)
-        order = self._contig_order
-        for j, h in enumerate(hashes.tolist()):
-            e = self.index.get(h)
-            cid[j] = order[e.contig]
-            cpos[j] = e.position
-            sbits[j] = (1 if e.strand == "+" else 0) | (2 if rstrand[j] else 0)
+        rpos = mins.positions[found].astype(np.int32)
+        sbits = (
+            cstrand[found].astype(np.int32)
+            | (mins.forward[found].astype(np.int32) << 1)
+        )
         hi = (hashes >> np.uint64(32)).astype(np.uint32).view(np.int32)
         lo = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        return (n, rpos, cid, cpos, sbits, hi, lo)
+        return (
+            n,
+            np.ascontiguousarray(rpos),
+            np.ascontiguousarray(cid[found].astype(np.int32)),
+            np.ascontiguousarray(cpos[found].astype(np.int32)),
+            np.ascontiguousarray(sbits),
+            hi,
+            lo,
+        )
 
     def _pad_len(self, n: int) -> int:
         p = self.MIN_PAD

@@ -1,14 +1,19 @@
 """Contig minimizer index.
 
 Globally deduplicated minimizer table (reference ntlink_pair.py:189-211):
-a minimizer hash occurring at more than one (contig, position) anywhere in the
-assembly is removed entirely. Stored both as a dict (host chaining) and as a
-sorted uint64 array (vectorized / device binary-search lookup).
+a minimizer hash occurring at more than one (contig, position) anywhere in
+the assembly is removed entirely. (Keep-first then drop-dups is equivalent
+to keeping exactly the hashes with global multiplicity one.)
+
+Array-backed: hashes/contig-ids/positions/strands in sorted numpy arrays so
+building a human-scale index (tens of millions of entries) is vectorized
+sort/unique work, lookups are binary search, and the device hash table is
+built straight from the arrays.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterable, Tuple
+from typing import Dict, Iterable, Iterator, List, Tuple
 
 import numpy as np
 
@@ -26,60 +31,123 @@ class ContigIndex:
     """Deduplicated hash -> (contig, position, strand) table."""
 
     def __init__(self):
-        self._table: Dict[int, IndexedMinimizer] = {}
-        self._dups: set = set()
-        self._sorted_hashes: np.ndarray | None = None
+        self._chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        self.contig_names: List[str] = []
+        self._contig_ids: Dict[str, int] = {}
+        self._finalized = False
+        # finalized arrays (sorted by hash, dedup'd)
+        self.hashes = np.zeros(0, dtype=np.uint64)
+        self.contig_ids = np.zeros(0, dtype=np.int32)
+        self.positions = np.zeros(0, dtype=np.int32)
+        self.strands = np.zeros(0, dtype=bool)
+
+    def _contig_id(self, contig: str) -> int:
+        cid = self._contig_ids.get(contig)
+        if cid is None:
+            cid = len(self.contig_names)
+            self._contig_ids[contig] = cid
+            self.contig_names.append(contig)
+        return cid
+
+    # -- construction ------------------------------------------------------
 
     def add_sketch(self, contig: str, mins: Minimizers) -> None:
-        table, dups = self._table, self._dups
-        for h, p, f in zip(
-            mins.hashes.tolist(), mins.positions.tolist(), mins.forward.tolist()
-        ):
-            if h in table:
-                dups.add(h)
-            else:
-                table[h] = IndexedMinimizer(contig, p, "+" if f else "-")
-        self._sorted_hashes = None
+        cid = self._contig_id(contig)
+        n = len(mins)
+        self._chunks.append(
+            (
+                np.asarray(mins.hashes, dtype=np.uint64),
+                np.full(n, cid, dtype=np.int32),
+                np.asarray(mins.positions, dtype=np.int32),
+                np.asarray(mins.forward, dtype=bool),
+            )
+        )
+        self._finalized = False
 
     def add_tsv_entries(
         self, contig: str, entries: Iterable[Tuple[int, int, str]]
     ) -> None:
-        table, dups = self._table, self._dups
-        for h, p, s in entries:
-            if h in table:
-                dups.add(h)
-            else:
-                table[h] = IndexedMinimizer(contig, p, s)
-        self._sorted_hashes = None
+        rows = list(entries)
+        cid = self._contig_id(contig)
+        n = len(rows)
+        h = np.fromiter((r[0] for r in rows), dtype=np.uint64, count=n)
+        p = np.fromiter((r[1] for r in rows), dtype=np.int32, count=n)
+        s = np.fromiter((r[2] == "+" for r in rows), dtype=bool, count=n)
+        self._chunks.append((h, np.full(n, cid, dtype=np.int32), p, s))
+        self._finalized = False
 
     def finalize(self) -> None:
-        """Drop duplicate hashes (global dedup) and build the lookup array."""
-        if self._dups:
-            for h in self._dups:
-                self._table.pop(h, None)
-            self._dups = set()
-        self._sorted_hashes = np.sort(
-            np.fromiter(self._table.keys(), dtype=np.uint64, count=len(self._table))
-        )
+        """Global dedup (keep hashes with multiplicity one), sort by hash."""
+        if self._finalized:
+            return
+        if self._chunks:
+            h = np.concatenate([c[0] for c in self._chunks])
+            cid = np.concatenate([c[1] for c in self._chunks])
+            pos = np.concatenate([c[2] for c in self._chunks])
+            strand = np.concatenate([c[3] for c in self._chunks])
+            order = np.argsort(h, kind="stable")
+            h, cid, pos, strand = h[order], cid[order], pos[order], strand[order]
+            # multiplicity-one mask over the sorted hashes
+            uniq_left = np.ones(h.shape[0], dtype=bool)
+            uniq_left[1:] = h[1:] != h[:-1]
+            uniq_right = np.ones(h.shape[0], dtype=bool)
+            uniq_right[:-1] = h[:-1] != h[1:]
+            keep = uniq_left & uniq_right
+            self.hashes = h[keep]
+            self.contig_ids = cid[keep]
+            self.positions = pos[keep]
+            self.strands = strand[keep]
+        self._chunks = []
+        self._finalized = True
+
+    # -- queries -----------------------------------------------------------
 
     def __len__(self) -> int:
-        return len(self._table)
+        self.finalize()
+        return int(self.hashes.shape[0])
 
-    def __contains__(self, h: int) -> bool:
-        return h in self._table and h not in self._dups
+    def _lookup(self, h) -> int:
+        self.finalize()
+        i = int(np.searchsorted(self.hashes, np.uint64(h)))
+        if i < self.hashes.shape[0] and self.hashes[i] == np.uint64(h):
+            return i
+        return -1
 
-    def get(self, h: int) -> IndexedMinimizer:
-        return self._table[h]
+    def __contains__(self, h) -> bool:
+        return self._lookup(h) >= 0
+
+    def get(self, h) -> IndexedMinimizer:
+        i = self._lookup(h)
+        if i < 0:
+            raise KeyError(h)
+        return IndexedMinimizer(
+            self.contig_names[self.contig_ids[i]],
+            int(self.positions[i]),
+            "+" if self.strands[i] else "-",
+        )
 
     def member_mask(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership for a uint64 hash array."""
-        if self._sorted_hashes is None:
-            self.finalize()
-        pos = np.searchsorted(self._sorted_hashes, hashes)
-        pos = np.minimum(pos, len(self._sorted_hashes) - 1) if len(self._sorted_hashes) else pos
-        if len(self._sorted_hashes) == 0:
+        self.finalize()
+        if self.hashes.shape[0] == 0:
             return np.zeros(hashes.shape, dtype=bool)
-        return self._sorted_hashes[pos] == hashes
+        pos = np.searchsorted(self.hashes, hashes)
+        pos = np.minimum(pos, self.hashes.shape[0] - 1)
+        return self.hashes[pos] == hashes
+
+    def lookup_many(self, hashes: np.ndarray):
+        """(found mask, contig_ids, positions, strands) for a hash array."""
+        self.finalize()
+        if self.hashes.shape[0] == 0:
+            z = np.zeros(hashes.shape[0], dtype=np.int32)
+            return np.zeros(hashes.shape[0], bool), z, z, z.astype(bool)
+        pos = np.minimum(
+            np.searchsorted(self.hashes, hashes), self.hashes.shape[0] - 1
+        )
+        found = self.hashes[pos] == hashes
+        return found, self.contig_ids[pos], self.positions[pos], self.strands[pos]
+
+    # -- constructors ------------------------------------------------------
 
     @classmethod
     def from_tsv(cls, path: str) -> "ContigIndex":
@@ -99,7 +167,9 @@ class ContigIndex:
         return idx
 
     @classmethod
-    def from_sketches(cls, named_sketches: Iterable[Tuple[str, Minimizers]]) -> "ContigIndex":
+    def from_sketches(
+        cls, named_sketches: Iterable[Tuple[str, Minimizers]]
+    ) -> "ContigIndex":
         idx = cls()
         for contig, mins in named_sketches:
             idx.add_sketch(contig, mins)

@@ -60,22 +60,34 @@ class DeviceIndex:
         t_pos = np.zeros(size, np.int32)
         t_strand = np.zeros(size, bool)
 
-        # vectorized-ish linear-probing insertion
-        slots = ((lo ^ hi) * np.uint32(_FIB)).astype(np.uint32) & np.uint32(mask)
-        order = np.argsort(slots, kind="stable")
+        # vectorized linear-probing insertion: per round, every pending
+        # entry tries its slot; one claimant per slot wins, losers advance
+        # one slot and retry. Rounds ~ longest cluster (load <= 0.5).
+        slots = (
+            ((lo ^ hi) * np.uint32(_FIB)).astype(np.uint32) & np.uint32(mask)
+        ).astype(np.int64)
+        pending = np.arange(n)
+        claim = np.full(size, -1, np.int64)
         max_probes = 1
-        for i in order.tolist():
-            s = int(slots[i])
-            probes = 1
-            while t_cid[s] != -1:
-                s = (s + 1) & mask
-                probes += 1
-            t_hi[s] = hi[i]
-            t_lo[s] = lo[i]
-            t_cid[s] = contig_ids[i]
-            t_pos[s] = positions[i]
-            t_strand[s] = strands[i]
-            max_probes = max(max_probes, probes)
+        rounds = 0
+        while pending.size:
+            rounds += 1
+            want = slots[pending]
+            free = t_cid[want] == -1
+            contenders, want_free = pending[free], want[free]
+            claim[want_free] = contenders  # last writer wins; rest retry
+            won = claim[want] == pending
+            winners = pending[won]
+            w_slots = slots[winners]
+            t_hi[w_slots] = hi[winners]
+            t_lo[w_slots] = lo[winners]
+            t_cid[w_slots] = contig_ids[winners]
+            t_pos[w_slots] = positions[winners]
+            t_strand[w_slots] = strands[winners]
+            pending = pending[~won]
+            slots[pending] = (slots[pending] + 1) & mask
+            max_probes = rounds
+        max_probes = max(max_probes, 1)
 
         self.size = size
         self.mask = mask
@@ -88,19 +100,12 @@ class DeviceIndex:
         self.t_strand = jnp.asarray(t_strand)
 
     @classmethod
-    def from_contig_index(cls, index, contig_order) -> "DeviceIndex":
-        """Build from index.ContigIndex; contig_order maps name -> int id."""
-        n = len(index)
-        hashes = np.empty(n, dtype=np.uint64)
-        cids = np.empty(n, dtype=np.int32)
-        poss = np.empty(n, dtype=np.int32)
-        strs = np.empty(n, dtype=bool)
-        for i, (h, entry) in enumerate(index._table.items()):
-            hashes[i] = h
-            cids[i] = contig_order[entry.contig]
-            poss[i] = entry.position
-            strs[i] = entry.strand == "+"
-        return cls(hashes, cids, poss, strs)
+    def from_contig_index(cls, index) -> "DeviceIndex":
+        """Build from an array-backed index.ContigIndex."""
+        index.finalize()
+        return cls(
+            index.hashes, index.contig_ids, index.positions, index.strands
+        )
 
 
 def hash_table_join(t_hi, t_lo, t_cid, t_pos, t_strand, q_hi, q_lo,
