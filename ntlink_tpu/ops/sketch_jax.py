@@ -198,14 +198,32 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
     return out_hi, out_lo, fwd, winner, emit
 
 
+@functools.lru_cache(maxsize=1)
+def _sketch_step():
+    """Module-level jitted compacted sketch step (shared compile cache)."""
+    from ..parallel.mesh import sketch_step_packed
+
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+    def step(packed, lengths, k, w, L, max_mins):
+        return sketch_step_packed(packed, lengths, k, w, L, max_mins)
+
+    return step
+
+
 class JaxSketcher:
-    """Batched device sketcher with NumPy fallback for N-containing reads."""
+    """Batched device sketcher with NumPy fallback for N-containing reads.
+
+    Uses the compacted sketch step: device->host transfers are
+    O(minimizers), not O(bases) — essential over slow links and at
+    assembly scale.
+    """
 
     #: padded length buckets (powers of two keep the jit cache tiny)
     MIN_PAD = 1 << 10
     MAX_PAD = 1 << 21
+    MAX_SLOTS = 1 << 17
 
-    def __init__(self, batch_bases: int = 8_000_000):
+    def __init__(self, batch_bases: int = 16_000_000):
         self.batch_bases = batch_bases
 
     def _pad_len(self, n: int) -> int:
@@ -214,6 +232,13 @@ class JaxSketcher:
             p <<= 1
         return p
 
+    def _slots_for(self, L: int, w: int) -> int:
+        want = int(2.5 * L / (w + 1)) + 64
+        s = 128
+        while s < want and s < self.MAX_SLOTS:
+            s <<= 1
+        return s
+
     def sketch_stream(
         self,
         named_seqs: Iterable[Tuple[str, str]],
@@ -221,38 +246,75 @@ class JaxSketcher:
         w: int,
     ) -> Iterator[Tuple[str, int, Minimizers]]:
         """Yield (name, length, Minimizers) in input order, batching
-        same-bucket sequences onto the device."""
-        pending: List[Tuple[str, str]] = []   # in input order
-        results: Dict[int, Minimizers] = {}
-        buckets: Dict[int, List[int]] = {}
+        same-bucket sequences onto the device (pipelined flushes)."""
+        from ..native import fastx_module
+        from ..parallel.mesh import pack_codes
 
+        native = fastx_module()
+        step = _sketch_step()
+
+        pending: List[Tuple[str, int]] = []   # (name, length)
+        results: Dict[int, Minimizers] = {}
         encoded: Dict[int, np.ndarray] = {}
+        buckets: Dict[int, List[int]] = {}
+        in_flight: List[tuple] = []
+
+        def bucket_rows(pad: int) -> int:
+            b = 1
+            while b < max(1, self.batch_bases // pad):
+                b <<= 1
+            return b
 
         def flush_bucket(pad: int, idxs: List[int]) -> None:
-            # pad the batch dim to a power of two as well: one compile per
-            # (B_bucket, pad, k, w) instead of one per distinct batch size
-            B = 1
-            while B < len(idxs):
-                B <<= 1
-            codes = np.full((B, pad), 4, dtype=np.uint8)
+            B = bucket_rows(pad)
+            assert len(idxs) <= B
+            row_codes = [encoded.pop(i) for i in idxs]
             lengths = np.zeros(B, dtype=np.int32)
-            for row, i in enumerate(idxs):
-                c = encoded.pop(i)
-                codes[row, : len(c)] = c
-                lengths[row] = len(c)
-            out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(
-                jnp.asarray(codes), jnp.asarray(lengths), k, w
+            lengths[: len(idxs)] = [len(c) for c in row_codes]
+            if native is not None:
+                buf = native.pack_batch(row_codes, pad)
+                packed = np.frombuffer(buf, dtype=np.uint8).reshape(-1, pad // 4)
+                if packed.shape[0] < B:
+                    packed = np.vstack(
+                        [packed, np.zeros((B - packed.shape[0], pad // 4), np.uint8)]
+                    )
+            else:
+                codes = np.zeros((B, pad), dtype=np.uint8)
+                for row, c in enumerate(row_codes):
+                    codes[row, : len(c)] = c
+                packed = pack_codes(codes)
+            out = step(
+                jnp.asarray(packed), jnp.asarray(lengths), k, w, pad,
+                self._slots_for(pad, w),
             )
-            out_hi = np.asarray(out_hi, dtype=np.uint64)
-            out_lo = np.asarray(out_lo, dtype=np.uint64)
-            fwd = np.asarray(fwd)
-            winner = np.asarray(winner)
-            emit = np.asarray(emit)
-            out = (out_hi << np.uint64(32)) | out_lo
-            for row, i in enumerate(idxs):
-                sel = winner[row][emit[row]]
+            in_flight.append((out, dict(enumerate(idxs)), row_codes))
+            if len(in_flight) > 1:
+                drain(*in_flight.pop(0))
+
+        def drain(out, rows, row_codes) -> None:
+            count = np.asarray(out["count"])
+            n_mins = np.asarray(out["n_minimizers"])
+            slots = int(out["mins"].shape[2])
+            mc = max(1, int(count.max()))
+            p2 = 1
+            while p2 < mc:
+                p2 <<= 1
+            mc = min(slots, p2)
+            mins = np.asarray(out["mins"][:, :, :mc])
+            for row, i in rows.items():
+                n = int(count[row])
+                if n_mins[row] > slots:
+                    results[i] = nthash_np.sketch_codes(row_codes[row], k, w)
+                    continue
+                m = mins[row]
+                hashes = (
+                    (m[1, :n].view(np.uint32).astype(np.uint64) << np.uint64(32))
+                    | m[2, :n].view(np.uint32).astype(np.uint64)
+                )
                 results[i] = Minimizers(
-                    out[row][sel], sel.astype(np.int64), fwd[row][sel]
+                    hashes,
+                    m[0, :n].astype(np.int64),
+                    m[3, :n].astype(bool),
                 )
 
         def flush_all():
@@ -260,25 +322,33 @@ class JaxSketcher:
                 if idxs:
                     flush_bucket(pad, idxs)
             buckets.clear()
-            for i, (name, seq) in enumerate(pending):
-                yield name, len(seq), results[i]
+            while in_flight:
+                drain(*in_flight.pop(0))
+            for i, (name, length) in enumerate(pending):
+                yield name, length, results[i]
             pending.clear()
             results.clear()
 
         budget = 0
         for name, seq in named_seqs:
             i = len(pending)
-            pending.append((name, seq))
-            codes = nthash_np.encode(seq)
-            if len(seq) < k or len(seq) > self.MAX_PAD or (codes > 3).any():
+            pending.append((name, len(seq)))
+            codes = (
+                seq if isinstance(seq, np.ndarray) else nthash_np.encode(seq)
+            )
+            if len(codes) < k or len(codes) > self.MAX_PAD or (codes > 3).any():
                 # numpy path: short, N-containing, or oversized sequences
                 results[i] = nthash_np.sketch_codes(codes, k, w)
                 continue
             encoded[i] = codes
-            pad = self._pad_len(len(seq))
-            buckets.setdefault(pad, []).append(i)
+            pad = self._pad_len(len(codes))
+            bucket = buckets.setdefault(pad, [])
+            bucket.append(i)
+            if len(bucket) >= bucket_rows(pad):
+                flush_bucket(pad, bucket)
+                buckets[pad] = []
             budget += pad
-            if budget >= self.batch_bases:
+            if budget >= 4 * self.batch_bases:
                 yield from flush_all()
                 budget = 0
         yield from flush_all()

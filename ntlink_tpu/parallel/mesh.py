@@ -206,6 +206,35 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
     }
 
 
+def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int):
+    """Sketch-only fused step: unpack -> hash -> window-min -> compact.
+
+    Returns per-sequence minimizer counts and a stacked (B, 4, S) int32
+    tensor [position, hash_hi, hash_lo, strand]; transfers are O(minimizers).
+    Powers the indexlr-equivalent contig TSV sketching at scale.
+    """
+    codes = unpack_codes(packed, L)
+    out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
+    sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_mins]
+    sel_ok = jnp.take_along_axis(emit, sel, axis=1)
+    m_pos = jnp.take_along_axis(winner, sel, axis=1)
+    gather = lambda a: jnp.take_along_axis(a, jnp.maximum(m_pos, 0), axis=1)
+    mins = jnp.stack(
+        [
+            jnp.where(sel_ok, m_pos, -1),
+            jnp.where(sel_ok, gather(out_hi), 0).astype(jnp.int32),
+            jnp.where(sel_ok, gather(out_lo), 0).astype(jnp.int32),
+            jnp.where(sel_ok, gather(fwd), False).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    return {
+        "count": jnp.minimum(emit.sum(axis=1), max_mins).astype(jnp.int32),
+        "n_minimizers": emit.sum(axis=1).astype(jnp.int32),
+        "mins": mins,
+    }
+
+
 def mapping_step(codes, lengths, idx_hi, idx_lo, idx_cid, idx_pos, idx_strand,
                  k: int, w: int):
     """Compatibility wrapper over unpacked codes with a sorted-array index.
