@@ -262,22 +262,35 @@ def find_pass1_cuts(
         pair.target_read_cut = adjust_read_cut(t_hit.read_pos, t_map.orientation, t_ori, large_k)
 
 
-def masked_flank(seq: str, cut: int, keep_tail: bool) -> str:
-    """N-mask all but the flank (reference print_masked_sequences)."""
-    if keep_tail:
-        return "N" * cut + seq[cut:]
-    return seq[:cut] + "N" * (len(seq) - cut)
+def _sketch_span(seq: str, lo: int, hi: int, k: int, w: int):
+    """Minimizers of seq with everything outside [lo, hi) N-masked.
+
+    Equivalent to sketching the masked string, but only the unmasked slice
+    is hashed: k-mers touching an N are invalid, so the valid-k-mer list
+    (and hence every window) is identical — positions just shift by `lo`.
+    """
+    lo = max(0, lo)
+    hi = min(len(seq), hi)
+    if hi - lo < k:
+        import numpy as _np
+
+        return nthash_np.Minimizers(
+            _np.zeros(0, _np.uint64), _np.zeros(0, _np.int64), _np.zeros(0, bool)
+        )
+    mins = nthash_np.sketch_sequence(seq[lo:hi], k, w)
+    return nthash_np.Minimizers(mins.hashes, mins.positions + lo, mins.forward)
 
 
-def _sketch_masked(
-    named_seqs: List[Tuple[str, str]], k: int, w: int
+def _sketch_masked_spans(
+    named_spans: List[Tuple[str, str, int, int]], k: int, w: int
 ) -> Dict[str, Tuple[str, int, str]]:
     """Joint deduplicated minimizer table over masked flank sequences
-    (reference read_btllib_minimizers:397-410). Hash keys are strings."""
+    (reference read_btllib_minimizers:397-410). Hash keys are strings.
+    Each entry is (name, seq, keep_lo, keep_hi)."""
     info: Dict[str, Tuple[str, int, str]] = {}
     dups = set()
-    for name, seq in named_seqs:
-        mins = nthash_np.sketch_sequence(seq, k, w)
+    for name, seq, lo, hi in named_spans:
+        mins = _sketch_span(seq, lo, hi, k, w)
         for h, p, f in zip(
             mins.hashes.tolist(), mins.positions.tolist(), mins.forward.tolist()
         ):
@@ -285,7 +298,7 @@ def _sketch_masked(
             if key in info:
                 dups.add(key)
             else:
-                info[key] = (name, p, "+" if f else "-")
+                info[key] = (name, int(p), "+" if f else "-")
     return {k_: v for k_, v in info.items() if k_ not in dups}
 
 
@@ -318,21 +331,26 @@ def refine_cuts(
         s_name, s_ori = source.strip("+-"), source[-1]
         t_name, t_ori = target.strip("+-"), target[-1]
 
-        s_masked = masked_flank(
-            sequences[s_name].seq, pair.source_ctg_cut, keep_tail=s_ori == "+"
+        s_seq = sequences[s_name].seq
+        t_seq = sequences[t_name].seq
+        s_lo, s_hi = (
+            (pair.source_ctg_cut, len(s_seq)) if s_ori == "+"
+            else (0, pair.source_ctg_cut)
         )
-        t_masked = masked_flank(
-            sequences[t_name].seq, pair.target_ctg_cut, keep_tail=t_ori == "-"
+        t_lo, t_hi = (
+            (0, pair.target_ctg_cut) if t_ori == "+"
+            else (pair.target_ctg_cut, len(t_seq))
         )
         read_seq = reads[pair.chosen_read]
         r_lo = min(pair.source_read_cut, pair.target_read_cut)
         r_hi = max(pair.source_read_cut, pair.target_read_cut)
-        r_masked = (
-            "N" * r_lo + read_seq[r_lo:r_hi] + "N" * (len(read_seq) - r_hi)
-        )
 
-        mx_info = _sketch_masked([(s_name, s_masked), (t_name, t_masked)], gap_k, gap_w)
-        read_mins = nthash_np.sketch_sequence(r_masked, gap_k, gap_w)
+        mx_info = _sketch_masked_spans(
+            [(s_name, s_seq, s_lo, s_hi), (t_name, t_seq, t_lo, t_hi)],
+            gap_k, gap_w,
+        )
+        read_mins = _sketch_span(read_seq, r_lo, r_hi, gap_k, gap_w)
+        r_masked_len = len(read_seq)
         hits = []
         for h, p, f in zip(
             read_mins.hashes.tolist(),
@@ -352,7 +370,7 @@ def refine_cuts(
         # gap-fill re-mapping (ntLink:266-269); its own defaults apply.
         runs = chain_read_hits(
             hits,
-            len(r_masked),
+            r_masked_len,
             lengths,
             gap_k,
             z=1000,
