@@ -56,6 +56,9 @@ class DeviceMapper:
 
     def __init__(self, index: ContigIndex, k: int, w: int,
                  batch_bases: int = 8_000_000, use_mesh: bool = True):
+        from .jax_setup import configure
+
+        configure()
         import jax
 
         from .parallel.mesh import DeviceIndex

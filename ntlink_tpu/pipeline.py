@@ -502,5 +502,8 @@ def run_rounds(cfg: ScaffoldConfig, rounds: int, gap_fill: bool = False) -> str:
 
     final = f"{cfg.target}.{kwz}.{suffix}.{rounds}rounds.fa"
     _relink(final, round_out)
+    if gap_fill:
+        # reference also links the plain-named rounds alias (ntLink_rounds:91-94)
+        _relink(f"{cfg.target}.{kwz}.ntLink.{rounds}rounds.fa", final)
     log("Done ntLink rounds! Final scaffolds in:", final)
     return final
