@@ -15,7 +15,7 @@ With more than one device, the same step runs sharded over a 1-D data mesh
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+from typing import Dict, Iterable, Iterator, List, Tuple
 
 import numpy as np
 

@@ -11,7 +11,6 @@ become in-memory sketch calls on the same masked strings.
 """
 from __future__ import annotations
 
-import sys
 from collections import Counter
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -21,7 +20,7 @@ import numpy as np
 from .config import ScaffoldConfig
 from .mapping import AnchorHit, chain_read_hits, parse_hits_string
 from .ops import nthash_np
-from .pathio import GAP_RE, is_gap, read_path_file
+from .pathio import GAP_RE, read_path_file
 from .pipeline import log
 from .seqio import reverse_complement, stream_fastx
 

@@ -13,7 +13,7 @@ import re
 from dataclasses import dataclass
 from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
-from .pairs import PairTally, flip_orientation
+from .pairs import PairTally
 
 
 @dataclass

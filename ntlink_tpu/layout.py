@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 from .graphio import ScaffoldGraph
 from .stats import FAC_HEADER, fac_row

@@ -18,8 +18,8 @@ anchor hits — the exact payload of a verbose_mapping.tsv row.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Sequence, Tuple
 
 
 class AnchorHit(NamedTuple):

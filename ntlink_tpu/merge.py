@@ -9,7 +9,7 @@ Input sequences that appear in no path are passed through unchanged as
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, List
 
 from .pathio import gap_size, is_gap, read_path_file
 from .seqio import reverse_complement, stream_fastx

@@ -201,6 +201,9 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
 @functools.lru_cache(maxsize=1)
 def _sketch_step():
     """Module-level jitted compacted sketch step (shared compile cache)."""
+    from ..jax_setup import configure
+
+    configure()
     from ..parallel.mesh import sketch_step_packed
 
     @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import nthash_np
 from .sketch_jax import MULTISHIFT, _mult_limbs, _tables_u32
 
 ROWS = 8  # row tile (sublane dimension)

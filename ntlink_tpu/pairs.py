@@ -7,8 +7,8 @@ filters), :263-305 (doubled reverse-complement edge graph), :437-488
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

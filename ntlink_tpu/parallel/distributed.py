@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 from ..pairs import PairEvidence, PairKey, PairTally
 

@@ -16,7 +16,7 @@ instead of a log2(n)-step binary search.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

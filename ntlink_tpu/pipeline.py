@@ -10,17 +10,17 @@ from __future__ import annotations
 import os
 import sys
 import time
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Optional
 
 from .config import ScaffoldConfig
 from .graphio import graph_from_tally, largest_ntlink_id, write_dot
 from .tracing import GLOBAL as tracer
 from .index import ContigIndex
-from .mapping import AnchorHit, apply_repeat_filter, chain_read_hits
+from .mapping import AnchorHit, chain_read_hits
 from .pairs import PairTally, tally_from_checkpoint
 from .paf import paf_lines
 from .seqio import stream_fastx
-from .sketch import get_backend, sketch_fasta_to_tsv, sketch_sequences
+from .sketch import get_backend, sketch_fasta_to_tsv
 
 
 def log(*parts) -> None:

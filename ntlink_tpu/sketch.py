@@ -10,7 +10,7 @@ backend and renders the reference toolchain's sketch TSV dialects
 """
 from __future__ import annotations
 
-from typing import Iterable, Iterator, List, Optional, Tuple
+from typing import Iterable, Iterator, Tuple
 
 from .ops import nthash_np
 from .ops.nthash_np import Minimizers

@@ -6,7 +6,7 @@ non-N base count of each sequence, stats over sequences >= 500 bp, columns
 """
 from __future__ import annotations
 
-from typing import Iterable, List
+from typing import Iterable
 
 
 def non_n_length(seq: str) -> int:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import re
-from collections import defaultdict
+
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -15,8 +15,8 @@ import os
 import resource
 import sys
 import time
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from dataclasses import dataclass
+from typing import List, Optional
 
 
 @dataclass
