@@ -39,12 +39,13 @@ def _single_device_step():
 
     from .parallel.mesh import mapping_step_packed
 
-    @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
+    @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
     def jstep(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
-              k, w, L_, mask, probes, anchors, pallas_flag):
+              k, w, L_, mask, probes, anchors, pallas_flag, with_hashes):
         return mapping_step_packed(
             packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
             k, w, L_, mask, probes, anchors, use_pallas=pallas_flag,
+            with_hashes=with_hashes,
         )
 
     return jstep
@@ -55,7 +56,8 @@ class DeviceMapper:
     MAX_PAD = 1 << 21
 
     def __init__(self, index: ContigIndex, k: int, w: int,
-                 batch_bases: int = 8_000_000, use_mesh: bool = True):
+                 batch_bases: int = 8_000_000, use_mesh: bool = True,
+                 with_hashes: bool = True):
         from .jax_setup import configure
 
         configure()
@@ -71,6 +73,7 @@ class DeviceMapper:
         self._contig_order = {n: i for i, n in enumerate(index.contig_names)}
         self.didx = DeviceIndex.from_contig_index(index)
         self.n_devices = len(jax.devices()) if use_mesh else 1
+        self.with_hashes = with_hashes
         self._steps: Dict[Tuple[int, int], object] = {}
 
     def _slots_for(self, L: int) -> int:
@@ -86,7 +89,7 @@ class DeviceMapper:
         if self.n_devices > 1:
             step = make_sharded_mapping_step(
                 make_mesh(), self.k, self.w, L, self.didx.mask,
-                self.didx.max_probes, key[1],
+                self.didx.max_probes, key[1], with_hashes=self.with_hashes,
             )
         else:
             import jax
@@ -98,7 +101,7 @@ class DeviceMapper:
             step = lambda packed, lengths, didx: jstep(
                 packed, lengths, d.t_hi, d.t_lo, d.t_cid, d.t_pos, d.t_strand,
                 self.k, self.w, L, d.mask, d.max_probes, key[1],
-                use_pallas and packed.shape[0] % 8 == 0,
+                use_pallas and packed.shape[0] % 8 == 0, self.with_hashes,
             )
         self._steps[key] = step
         return step
@@ -224,11 +227,14 @@ class DeviceMapper:
                 drain(*in_flight.pop(0))
 
         def drain(out, rows, row_codes, lengths) -> None:
+            from .ops.sketch_jax import _trim_width
+
             count = np.asarray(out["count"])
             n_mins = np.asarray(out["n_minimizers"])
             slots = int(out["anchors"].shape[2])
-            # single trimmed transfer; pow2 width keeps the slice op cached
-            mc = min(slots, _next_pow2(max(1, int(count.max()))))
+            n_planes = int(out["anchors"].shape[1])
+            # single trimmed transfer; bounded widths keep the slice cached
+            mc = min(slots, _trim_width(int(count.max())))
             anchors = np.ascontiguousarray(out["anchors"][:, :, :mc])
             for row, i in rows.items():
                 n = int(count[row])
@@ -239,9 +245,14 @@ class DeviceMapper:
                     results[i] = None
                     continue
                 a = anchors[row]
-                results[i] = (
-                    n, a[0, :n], a[1, :n], a[2, :n], a[3, :n], a[4, :n], a[5, :n]
-                )
+                rpos_packed = a[0, :n]
+                rpos = rpos_packed & 0x1FFFFFFF
+                sbits = (rpos_packed >> 29) & 3
+                if n_planes == 5:
+                    hi, lo = a[3, :n], a[4, :n]
+                else:
+                    hi = lo = np.zeros(n, np.int32)
+                results[i] = (n, rpos, a[1, :n], a[2, :n], sbits, hi, lo)
 
         def flush_all():
             for pad, idxs in list(buckets.items()):

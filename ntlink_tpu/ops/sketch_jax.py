@@ -198,6 +198,18 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
     return out_hi, out_lo, fwd, winner, emit
 
 
+def _trim_width(mc: int) -> int:
+    """Column width for trimmed transfers: pow2 up to 1024 (tight jit
+    cache), then multiples of 1024 (tight bytes)."""
+    mc = max(1, mc)
+    if mc <= 1024:
+        p = 1
+        while p < mc:
+            p <<= 1
+        return p
+    return (mc + 1023) & ~1023
+
+
 @functools.lru_cache(maxsize=1)
 def _sketch_step():
     """Module-level jitted compacted sketch step (shared compile cache)."""
@@ -298,11 +310,7 @@ class JaxSketcher:
             count = np.asarray(out["count"])
             n_mins = np.asarray(out["n_minimizers"])
             slots = int(out["mins"].shape[2])
-            mc = max(1, int(count.max()))
-            p2 = 1
-            while p2 < mc:
-                p2 <<= 1
-            mc = min(slots, p2)
+            mc = min(slots, _trim_width(int(count.max())))
             mins = np.asarray(out["mins"][:, :, :mc])
             for row, i in rows.items():
                 n = int(count[row])
@@ -314,10 +322,11 @@ class JaxSketcher:
                     (m[1, :n].view(np.uint32).astype(np.uint64) << np.uint64(32))
                     | m[2, :n].view(np.uint32).astype(np.uint64)
                 )
+                pos_strand = m[0, :n]
                 results[i] = Minimizers(
                     hashes,
-                    m[0, :n].astype(np.int64),
-                    m[3, :n].astype(bool),
+                    (pos_strand & 0x3FFFFFFF).astype(np.int64),
+                    (pos_strand >> 30).astype(bool),
                 )
 
         def flush_all():

@@ -143,12 +143,14 @@ def unpack_codes(packed: jnp.ndarray, L: int) -> jnp.ndarray:
 
 def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
                         k: int, w: int, L: int, mask: int, max_probes: int,
-                        max_anchors: int, use_pallas: bool = False):
+                        max_anchors: int, use_pallas: bool = False,
+                        with_hashes: bool = True):
     """Fused mapping step: unpack -> sketch -> compact minimizers ->
     hash-join -> compact matches. All outputs are O(anchors), not O(bases).
 
-    Returns per-read `count` plus `max_anchors`-slot arrays: read positions,
-    contig ids / positions / strands, read strands, matched hash halves.
+    Returns per-read `count` plus `max_anchors`-slot arrays: read positions
+    (strand bits packed in bits 29/30), contig ids / positions, and — only
+    when `with_hashes` (repeat filter) — matched hash halves.
     `use_pallas` selects the fused Pallas sketch core (TPU only).
     """
     codes = unpack_codes(packed, L)
@@ -184,20 +186,24 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
     order = jnp.argsort(~found, axis=1, stable=True)
     take = lambda a: jnp.take_along_axis(a, order, axis=1)
     found_c = take(found)
-    strand_bits = (
-        take(cstrand).astype(jnp.int32) | (take(m_fwd).astype(jnp.int32) << 1)
+    # strand bits ride in the read-position word (positions < 2^21)
+    rpos_packed = (
+        take(m_pos)
+        | (take(cstrand).astype(jnp.int32) << 29)
+        | (take(m_fwd).astype(jnp.int32) << 30)
     )
-    anchors = jnp.stack(
-        [
-            jnp.where(found_c, take(m_pos), -1),
-            jnp.where(found_c, take(cid), -1),
-            jnp.where(found_c, take(cpos), -1),
-            strand_bits,
+    planes = [
+        jnp.where(found_c, rpos_packed, -1),
+        jnp.where(found_c, take(cid), -1),
+        jnp.where(found_c, take(cpos), -1),
+    ]
+    if with_hashes:
+        planes += [
             take(q_hi).astype(jnp.int32),
             take(q_lo).astype(jnp.int32),
-        ],
-        axis=1,
-    )  # (B, 6, S) int32: per-read column slices stay contiguous on host
+        ]
+    anchors = jnp.stack(planes, axis=1)
+    # (B, 3|5, S) int32: per-read column slices stay contiguous on host
     return {
         "count": found.sum(axis=1).astype(jnp.int32),
         "n_minimizers": n_minimizers,  # overflow check: > max_anchors
@@ -219,12 +225,13 @@ def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int):
     sel_ok = jnp.take_along_axis(emit, sel, axis=1)
     m_pos = jnp.take_along_axis(winner, sel, axis=1)
     gather = lambda a: jnp.take_along_axis(a, jnp.maximum(m_pos, 0), axis=1)
+    # strand rides in bit 30 of the position word (positions < 2^21)
+    pos_strand = m_pos | (gather(fwd).astype(jnp.int32) << 30)
     mins = jnp.stack(
         [
-            jnp.where(sel_ok, m_pos, -1),
+            jnp.where(sel_ok, pos_strand, -1),
             jnp.where(sel_ok, gather(out_hi), 0).astype(jnp.int32),
             jnp.where(sel_ok, gather(out_lo), 0).astype(jnp.int32),
-            jnp.where(sel_ok, gather(fwd), False).astype(jnp.int32),
         ],
         axis=1,
     )
@@ -302,7 +309,8 @@ def pack_codes(codes: np.ndarray) -> np.ndarray:
 
 
 def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
-                              mask: int, max_probes: int, max_anchors: int):
+                              mask: int, max_probes: int, max_anchors: int,
+                              with_hashes: bool = True):
     """jit the packed mapping step with batch rows sharded over the data
     axis and the table replicated; XLA inserts the collectives."""
     data_sharding = NamedSharding(mesh, P("data", None))
@@ -310,22 +318,22 @@ def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
 
     @functools.partial(
         jax.jit,
-        static_argnums=(7, 8, 9, 10, 11, 12),
+        static_argnums=(7, 8, 9, 10, 11, 12, 13),
         in_shardings=(
             data_sharding, NamedSharding(mesh, P("data")),
             repl, repl, repl, repl, repl,
         ),
     )
     def step(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
-             k_, w_, L_, mask_, probes_, anchors_):
+             k_, w_, L_, mask_, probes_, anchors_, with_hashes_):
         return mapping_step_packed(
             packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
-            k_, w_, L_, mask_, probes_, anchors_,
+            k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
         )
 
     return lambda packed, lengths, didx: step(
         packed, lengths, didx.t_hi, didx.t_lo, didx.t_cid, didx.t_pos,
-        didx.t_strand, k, w, L, mask, max_probes, max_anchors,
+        didx.t_strand, k, w, L, mask, max_probes, max_anchors, with_hashes,
     )
 
 

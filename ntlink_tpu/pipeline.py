@@ -102,7 +102,8 @@ def map_reads(
             from .device_map import DeviceMapper
 
             mapper = DeviceMapper(
-                index, cfg.k, cfg.w, batch_bases=cfg.batch_bases
+                index, cfg.k, cfg.w, batch_bases=cfg.batch_bases,
+                with_hashes=cfg.repeats,
             )
         except Exception as exc:  # pragma: no cover - no jax available
             if cfg.backend == "jax":
