@@ -45,6 +45,7 @@ class ScaffoldConfig:
     stringent: bool = False
 
     prefix: Optional[str] = None   # defaults to <target>.k<k>.w<w>.z<z>
+    checkpoint: Optional[str] = None  # explicit mapping checkpoint (-c)
 
     v: int = 0             # v=1: per-stage time/RSS tracing (reference ntLink:100)
 

@@ -267,10 +267,12 @@ def pair_stage(cfg: ScaffoldConfig) -> str:
 
     contig_lengths = read_scaffold_lengths(cfg.target)
 
-    if os.path.exists(checkpoint) and _is_fresh(checkpoint, cfg.target):
-        log("Found mapping checkpoint", checkpoint, "- bypassing read mapping")
+    explicit = cfg.checkpoint
+    if explicit or (os.path.exists(checkpoint) and _is_fresh(checkpoint, cfg.target)):
+        ckpt = explicit or checkpoint
+        log("Found mapping checkpoint", ckpt, "- bypassing read mapping")
         with tracer.stage("pair/checkpoint-tally"):
-            tally = tally_from_checkpoint(checkpoint, contig_lengths, cfg.k, cfg.f)
+            tally = tally_from_checkpoint(ckpt, contig_lengths, cfg.k, cfg.f)
     else:
         from .parallel.distributed import (
             all_gather_tallies,
