@@ -70,6 +70,24 @@ def test_n_sweep_and_optimal_selection(tmp_path, monkeypatch):
     assert best == files[0]  # n=1 keeps the full chain -> best N50
 
 
+def test_sweep_prefers_higher_n_when_it_untangles(tmp_path, monkeypatch):
+    """An ambiguous fork at n=1 blocks the join; n=2 removes the weak edge
+    and the chain forms — the sweep must pick n=2."""
+    monkeypatch.chdir(tmp_path)
+    g = chain_graph(
+        [("A+", "B+", 100, 5), ("A+", "C+", 100, 1)], LENGTHS
+    )
+    files = run_n_sweep(g, LENGTHS, 1, 5, 1000, 20, "pre")
+    best = find_optimal_n(files)
+    assert best == files[1]  # n=2
+    from ntlink_tpu.stitch import stitch
+
+    stitch(files, g, "out.path", max_gap=-1, conservative=True)
+    with open("out.path") as fh:
+        lines = [l.rstrip("\n").split("\t")[1] for l in fh]
+    assert lines in (["A+ 101N B+"], ["B- 101N A-"])
+
+
 def test_non_conservative_stitch_grafts_terminal_edges(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     # best (n=2) layout drops the weak B+->C+ edge; the alternate n=1 layout

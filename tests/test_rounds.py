@@ -20,7 +20,7 @@ def test_rounds(tmp_path, monkeypatch, gap_fill):
         target="scaffolds_1.fa", reads=["long_reads_1.fa"], k=k, w=200,
         z=1000, gap_k=35, gap_w=10, backend="numpy",
     )
-    final = run_rounds(cfg, rounds=3, gap_fill=gap_fill)
+    final = run_rounds(cfg, rounds=5 if gap_fill else 3, gap_fill=gap_fill)
     assert os.path.exists(final)
     # final assembly should contain the joined scaffold (2 contigs -> 1 path)
     headers = [l for l in open(os.path.realpath(final)) if l.startswith(">")]
