@@ -171,13 +171,13 @@ def main():
     # tunnel in this environment occasionally wedges; a fresh process
     # re-establishes the claim cleanly.
     dev_rps = None
-    for attempt in range(3):
+    for attempt in range(2):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--device"],
                 capture_output=True,
                 text=True,
-                timeout=300,
+                timeout=240,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             for line in proc.stderr.splitlines():
@@ -193,7 +193,7 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"# device attempt {attempt+1} timed out; retrying",
                   file=sys.stderr)
-        time.sleep(30)
+        time.sleep(20)
 
     from ntlink_tpu.config import ScaffoldConfig
 
