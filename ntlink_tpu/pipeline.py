@@ -20,6 +20,7 @@ from .mapping import AnchorHit, chain_read_hits
 from .pairs import PairTally, tally_from_checkpoint
 from .paf import paf_lines
 from .seqio import stream_fastx
+from .seqio.fastx import prefetch_iter
 from .sketch import get_backend, sketch_fasta_to_tsv
 
 
@@ -137,7 +138,7 @@ def map_reads(
                 from .seqio.fastx import stream_codes
 
                 for name, read_len, raw in mapper.map_stream_raw(
-                    stream_codes(reads_file)
+                    prefetch_iter(stream_codes(reads_file))
                 ):
                     n_reads += 1
                     if raw is None:
@@ -199,7 +200,9 @@ def map_reads(
             if mapper is not None:
                 from .seqio.fastx import stream_codes
 
-                hit_stream = mapper.map_stream(stream_codes(reads_file))
+                hit_stream = mapper.map_stream(
+                    prefetch_iter(stream_codes(reads_file))
+                )
             else:
                 hit_stream = _host_hit_stream(cfg, index, reads_file)
             for name, read_len, hits in hit_stream:

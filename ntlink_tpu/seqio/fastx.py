@@ -143,6 +143,38 @@ def reverse_complement(seq: str) -> str:
     return seq[::-1].translate(_RC)
 
 
+def prefetch_iter(iterable, depth: int = 256):
+    """Run an iterable on a background thread with a bounded queue.
+
+    Overlaps input parsing/decompression with downstream (device) work.
+    Exceptions propagate to the consumer; the thread is daemonic so an
+    abandoned consumer cannot hang interpreter exit.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as exc:  # propagate into the consumer
+            q.put(exc)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def write_fasta(fh, records: Iterable, wrap: Optional[int] = None) -> None:
     """Write (header, seq) pairs; header is emitted verbatim after '>'."""
     for header, seq in records:
