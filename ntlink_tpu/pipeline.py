@@ -80,6 +80,152 @@ def _host_hit_stream(cfg, index, reads_file):
         yield name, len(codes), hits
 
 
+def _make_device_mapper(cfg: ScaffoldConfig, index: ContigIndex):
+    if cfg.backend == "numpy":
+        return None
+    try:
+        from .device_map import DeviceMapper
+
+        return DeviceMapper(
+            index, cfg.k, cfg.w, batch_bases=cfg.batch_bases,
+            with_hashes=cfg.repeats,
+        )
+    except Exception as exc:  # pragma: no cover - no jax available
+        if cfg.backend == "jax":
+            raise
+        log("Device backend unavailable, using NumPy:", exc)
+        return None
+
+
+def _make_native_chainer(mapper, contig_lengths):
+    """Native per-read chaining + verbose rendering (None if unavailable)."""
+    from .native import chain_module
+
+    chain_mod = chain_module()
+    if chain_mod is None:
+        return None
+    import numpy as _np
+
+    clen = _np.zeros(len(mapper.contig_names), dtype=_np.int32)
+    for name, idx in mapper._contig_order.items():
+        clen[idx] = contig_lengths[name]
+    return chain_mod.Chainer(clen, mapper.contig_names)
+
+
+def _python_chain_raw(raw, names, read_len, contig_lengths, cfg):
+    """Exact Python chaining over one read's raw anchor arrays."""
+    from .mapping import AnchorHit as AH
+
+    n, rpos, cid, cpos, sbits, _, _ = raw
+    hits = [
+        (names[c], AH(0, p, "+" if b & 1 else "-", r, "+" if b & 2 else "-"))
+        for r, c, p, b in zip(
+            rpos[:n].tolist(), cid[:n].tolist(),
+            cpos[:n].tolist(), sbits[:n].tolist(),
+        )
+    ]
+    return chain_read_hits(
+        hits, read_len, contig_lengths, cfg.k, cfg.z,
+        x=cfg.x, sensitive=cfg.sensitive,
+    )
+
+
+def _write_verbose(fh, name, runs) -> None:
+    for run in runs:
+        fh.write(
+            f"{name}\t{run.contig}\t{run.hit_count}\t{run.hits_string()}\n"
+        )
+
+
+def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh):
+    """Hot loop: device batches + C chaining, zero per-anchor Python."""
+    from .mapping import AnchorHit as AH, RunView
+    from .seqio.fastx import stream_codes
+
+    names = mapper.contig_names
+    n_reads = 0
+    for reads_file in cfg.reads:
+        log("Mapping reads", reads_file, "(native chain)")
+        for name, read_len, raw in mapper.map_stream_raw(
+            prefetch_iter(stream_codes(reads_file))
+        ):
+            n_reads += 1
+            if raw is None:
+                continue
+            n, rpos, cid, cpos, sbits, _, _ = raw
+            try:
+                runs_raw, vbytes = chainer.chain(
+                    cid, cpos, rpos, sbits, n, read_len, cfg.k, cfg.z,
+                    1 if cfg.sensitive else 0, float(cfg.x),
+                    name if verbose_fh else None,
+                )
+            except OverflowError:
+                # >256 distinct contigs on one read: exact Python path
+                runs = _python_chain_raw(raw, names, read_len, contig_lengths, cfg)
+                if runs:
+                    if verbose_fh:
+                        _write_verbose(verbose_fh, name, runs)
+                    tally.add_read(runs, read_len)
+                continue
+            if not runs_raw:
+                continue
+            if verbose_fh and vbytes is not None:
+                verbose_fh.write(vbytes.decode("ascii"))
+            runs = [
+                RunView(
+                    names[c],
+                    cnt,
+                    AH(0, fc, "+" if fb & 1 else "-", fr, "+" if fb & 2 else "-"),
+                    AH(0, lc, "+" if lb & 1 else "-", lr, "+" if lb & 2 else "-"),
+                )
+                for c, cnt, fc, fr, fb, lc, lr, lb in runs_raw
+            ]
+            tally.add_read(runs, read_len)
+    return n_reads
+
+
+def _map_reads_generic(cfg, mapper, index, tally, contig_lengths,
+                       verbose_fh, paf_fh):
+    """General path: per-hit objects (needed for PAF output / repeat filter)."""
+    n_reads = 0
+    for reads_file in cfg.reads:
+        log("Mapping reads", reads_file)
+        if mapper is not None:
+            from .seqio.fastx import stream_codes
+
+            hit_stream = mapper.map_stream(
+                prefetch_iter(stream_codes(reads_file))
+            )
+        else:
+            hit_stream = _host_hit_stream(cfg, index, reads_file)
+        for name, read_len, hits in hit_stream:
+            n_reads += 1
+            if not hits:
+                continue
+            if cfg.repeats:
+                # drop every occurrence of a hash matched more than once
+                # within this read (reference ntlink_pair.py:368-374)
+                counts: Dict[int, int] = {}
+                for _, h in hits:
+                    counts[h.mx] = counts.get(h.mx, 0) + 1
+                hits = [(c, h) for c, h in hits if counts[h.mx] == 1]
+            if not hits:
+                continue
+            runs = chain_read_hits(
+                hits, read_len, contig_lengths, cfg.k, cfg.z,
+                x=cfg.x, sensitive=cfg.sensitive,
+            )
+            if not runs:
+                continue
+            if verbose_fh:
+                _write_verbose(verbose_fh, name, runs)
+            if paf_fh:
+                for line in paf_lines(runs, name, read_len, contig_lengths, cfg.k):
+                    paf_fh.write(line + "\n")
+            tally.add_read(runs, read_len)
+    return n_reads
+
+
 def map_reads(
     cfg: ScaffoldConfig,
     index: ContigIndex,
@@ -90,154 +236,28 @@ def map_reads(
     """Stream read files through sketch → match → chain → tally.
 
     The sketch+match hot loop runs on-device in batches when a JAX backend is
-    available (device_map.DeviceMapper); chaining, output, and the pair tally
-    preserve the reference's exact order-sensitive semantics on host.
+    available (device_map.DeviceMapper), with chaining + verbose rendering in
+    native C; PAF/repeat modes and the NumPy backend take the general object
+    path. All paths preserve the reference's exact order-sensitive semantics.
     """
     tally = PairTally(contig_lengths, cfg.k, cfg.f)
     verbose_fh = open(verbose_path, "w") if verbose_path else None
     paf_fh = open(paf_path, "w") if paf_path else None
 
-    mapper = None
-    if cfg.backend != "numpy":
-        try:
-            from .device_map import DeviceMapper
-
-            mapper = DeviceMapper(
-                index, cfg.k, cfg.w, batch_bases=cfg.batch_bases,
-                with_hashes=cfg.repeats,
-            )
-        except Exception as exc:  # pragma: no cover - no jax available
-            if cfg.backend == "jax":
-                raise
-            log("Device backend unavailable, using NumPy:", exc)
-
-    # native fast path: per-read chaining + verbose rendering in C over the
-    # raw anchor arrays (no per-hit Python); PAF/repeat modes need per-hit
-    # objects and use the general path
+    mapper = _make_device_mapper(cfg, index)
     chainer = None
     if mapper is not None and not cfg.paf and not cfg.repeats:
-        from .native import chain_module
+        chainer = _make_native_chainer(mapper, contig_lengths)
 
-        chain_mod = chain_module()
-        if chain_mod is not None:
-            import numpy as _np
-
-            clen = _np.zeros(len(mapper.contig_names), dtype=_np.int32)
-            for name_, idx_ in mapper._contig_order.items():
-                clen[idx_] = contig_lengths[name_]
-            chainer = chain_mod.Chainer(clen, mapper.contig_names)
-
-    n_reads = 0
     try:
         if chainer is not None:
-            from .mapping import AnchorHit as _AH, RunView
-
-            names = mapper.contig_names
-            for reads_file in cfg.reads:
-                log("Mapping reads", reads_file, "(native chain)")
-                from .seqio.fastx import stream_codes
-
-                for name, read_len, raw in mapper.map_stream_raw(
-                    prefetch_iter(stream_codes(reads_file))
-                ):
-                    n_reads += 1
-                    if raw is None:
-                        continue
-                    n, rpos, cid, cpos, sbits, _, _ = raw
-                    try:
-                        runs_raw, vbytes = chainer.chain(
-                            cid, cpos, rpos, sbits, n, read_len, cfg.k, cfg.z,
-                            1 if cfg.sensitive else 0, float(cfg.x),
-                            name if verbose_fh else None,
-                        )
-                    except OverflowError:
-                        # >256 distinct contigs on one read: exact python path
-                        hits = [
-                            (
-                                names[c],
-                                _AH(0, p, "+" if b & 1 else "-", r,
-                                    "+" if b & 2 else "-"),
-                            )
-                            for r, c, p, b in zip(
-                                rpos[:n].tolist(), cid[:n].tolist(),
-                                cpos[:n].tolist(), sbits[:n].tolist(),
-                            )
-                        ]
-                        full_runs = chain_read_hits(
-                            hits, read_len, contig_lengths, cfg.k, cfg.z,
-                            x=cfg.x, sensitive=cfg.sensitive,
-                        )
-                        if not full_runs:
-                            continue
-                        if verbose_fh:
-                            for run in full_runs:
-                                verbose_fh.write(
-                                    f"{name}\t{run.contig}\t{run.hit_count}\t"
-                                    f"{run.hits_string()}\n"
-                                )
-                        tally.add_read(full_runs, read_len)
-                        continue
-                    if not runs_raw:
-                        continue
-                    if verbose_fh and vbytes is not None:
-                        verbose_fh.write(vbytes.decode("ascii"))
-                    runs = [
-                        RunView(
-                            names[c],
-                            cnt,
-                            _AH(0, fc, "+" if fb & 1 else "-", fr,
-                                "+" if fb & 2 else "-"),
-                            _AH(0, lc, "+" if lb & 1 else "-", lr,
-                                "+" if lb & 2 else "-"),
-                        )
-                        for c, cnt, fc, fr, fb, lc, lr, lb in runs_raw
-                    ]
-                    tally.add_read(runs, read_len)
-            log("Mapped", n_reads, "reads")
-            return tally
-        for reads_file in cfg.reads:
-            log("Mapping reads", reads_file)
-            if mapper is not None:
-                from .seqio.fastx import stream_codes
-
-                hit_stream = mapper.map_stream(
-                    prefetch_iter(stream_codes(reads_file))
-                )
-            else:
-                hit_stream = _host_hit_stream(cfg, index, reads_file)
-            for name, read_len, hits in hit_stream:
-                n_reads += 1
-                if not hits:
-                    continue
-                if cfg.repeats:
-                    # drop every occurrence of a hash matched more than once
-                    # within this read (reference ntlink_pair.py:368-374)
-                    counts: Dict[int, int] = {}
-                    for _, h in hits:
-                        counts[h.mx] = counts.get(h.mx, 0) + 1
-                    hits = [(c, h) for c, h in hits if counts[h.mx] == 1]
-                if not hits:
-                    continue
-                runs = chain_read_hits(
-                    hits,
-                    read_len,
-                    contig_lengths,
-                    cfg.k,
-                    cfg.z,
-                    x=cfg.x,
-                    sensitive=cfg.sensitive,
-                )
-                if not runs:
-                    continue
-                if verbose_fh:
-                    for run in runs:
-                        verbose_fh.write(
-                            f"{name}\t{run.contig}\t{run.hit_count}\t{run.hits_string()}\n"
-                        )
-                if paf_fh:
-                    for line in paf_lines(runs, name, read_len, contig_lengths, cfg.k):
-                        paf_fh.write(line + "\n")
-                tally.add_read(runs, read_len)
+            n_reads = _map_reads_native(
+                cfg, mapper, chainer, tally, contig_lengths, verbose_fh
+            )
+        else:
+            n_reads = _map_reads_generic(
+                cfg, mapper, index, tally, contig_lengths, verbose_fh, paf_fh
+            )
     except Exception:
         # mirror the reference's partial-output cleanup (ntlink_pair.py:608-613)
         for fh, path in ((verbose_fh, verbose_path), (paf_fh, paf_path)):
