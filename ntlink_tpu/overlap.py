@@ -269,18 +269,24 @@ def find_overlap_cuts(
             a, b = endpoints
             if a > b:  # string comparison, as in the reference
                 a, b = b, a
-            # walk the linear chain a -> b
-            chain = [a]
-            prev = None
-            while chain[-1] != b:
-                nxts = [v for v in adj[chain[-1]] if v != prev]
-                if len(nxts) != 1:
-                    chain = None
-                    break
-                prev = chain[-1]
-                chain.append(nxts[0])
-            if chain is None:
+            # BFS shortest path a -> b (reference uses get_shortest_paths,
+            # which tolerates branched interiors)
+            prev_of = {a: None}
+            frontier = [a]
+            while frontier and b not in prev_of:
+                nxt = []
+                for u in frontier:
+                    for v in adj[u]:
+                        if v not in prev_of:
+                            prev_of[v] = u
+                            nxt.append(v)
+                frontier = nxt
+            if b not in prev_of:
                 continue
+            chain = [b]
+            while prev_of[chain[-1]] is not None:
+                chain.append(prev_of[chain[-1]])
+            chain.reverse()
             start_mx, end_mx = chain[0], chain[-1]
             s_align = abs(info[s_name][start_mx] - info[s_name][end_mx])
             t_align = abs(info[t_name][start_mx] - info[t_name][end_mx])
