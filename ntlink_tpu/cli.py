@@ -157,6 +157,16 @@ def main(argv: List[str] | None = None) -> int:
         print("ERROR: Must set target and reads", file=sys.stderr)
         return 2
 
+    # parameter echo (reference ntlink_pair.py:538-558 prints its block)
+    print("ntlink-tpu parameters:")
+    for field in (
+        "target", "reads", "k", "w", "t", "z", "n", "max_n", "g", "G",
+        "merge_gap", "a", "f", "x", "overlap", "conservative", "sensitive",
+        "repeats", "soft_mask", "paf", "backend",
+    ):
+        print(f"\t{field}={getattr(cfg, field)}")
+    print(f"\tprefix={cfg.resolved_prefix()}")
+
     if "run_rounds" in targets:
         pipeline.run_rounds(cfg, rounds, gap_fill=False)
     elif "run_rounds_gaps" in targets:
