@@ -101,3 +101,46 @@ def test_cli_drop_in(tmp_path, monkeypatch):
     )
     assert proc.returncode == 0, proc.stderr
     assert (tmp_path / "scaffolds_1.fa.k32.w250.z1000.ntLink.scaffolds.fa").exists()
+
+
+def test_non_conservative_mode_e2e(tmp_path, monkeypatch):
+    # reference: conservative=False stitches across the n-sweep outputs
+    for f in ("scaffolds_3.fa", "long_reads_3.fa.gz"):
+        shutil.copy(os.path.join(REF_TESTS_DIR, f), tmp_path / f)
+    monkeypatch.chdir(tmp_path)
+    cfg = ScaffoldConfig(
+        target="scaffolds_3.fa", reads=["long_reads_3.fa.gz"], k=24, w=250,
+        z=1000, conservative=False, backend="numpy",
+    )
+    final = scaffold_stage(cfg)
+    with open(f"{cfg.resolved_prefix()}.stitch.path") as fh:
+        paths = [l.rstrip("\n").split("\t")[1] for l in fh]
+    # same layout as conservative on this clean dataset
+    assert sorted(paths) == sorted(
+        [
+            "189459+ 71N 183836- 433N 182169- 1315N 190964+",
+            "188266+ 4579N 189231-",
+        ]
+    )
+    assert os.path.exists(os.path.realpath(final))
+
+
+def test_native_chainer_overflow_guard():
+    import numpy as np
+
+    from ntlink_tpu.native import chain_module
+
+    mod = chain_module()
+    if mod is None:
+        return
+    n = 300
+    clen = np.full(n, 5000, np.int32)
+    names = [f"c{i}" for i in range(n)]
+    ch = mod.Chainer(clen, names)
+    cids = np.arange(n, dtype=np.int32)
+    zeros = np.zeros(n, np.int32)
+    try:
+        ch.chain(cids, zeros, zeros, zeros, n, 1000, 32, 100, 0, 0.0, None)
+        raise AssertionError("expected OverflowError")
+    except OverflowError:
+        pass
