@@ -51,3 +51,27 @@ def test_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_scaffold_e2e_jax_backend(tmp_path, monkeypatch):
+    """Full scaffold flow (incl. overlap trim) through the device backend:
+    byte-exact final FASTA vs golden."""
+    import filecmp
+
+    from ntlink_tpu.pipeline import scaffold_stage
+    from conftest import GOLDEN_DIR
+
+    for f in ("scaffolds_4.fa", "long_reads_4.fa.gz"):
+        shutil.copy(os.path.join(REF_TESTS_DIR, f), tmp_path / f)
+    monkeypatch.chdir(tmp_path)
+    cfg = ScaffoldConfig(
+        target="scaffolds_4.fa", reads=["long_reads_4.fa.gz"], k=40, w=100,
+        z=1000, overlap=True, merge_gap=0, backend="jax",
+        batch_bases=2_000_000,
+    )
+    final = scaffold_stage(cfg)
+    assert filecmp.cmp(
+        os.path.realpath(final),
+        os.path.join(GOLDEN_DIR, "scaffolds_4.fa.k40.w100.z1000.ntLink.scaffolds.fa"),
+        shallow=False,
+    )
