@@ -61,9 +61,15 @@ def test_overlap_trim_scaffolds_4_merge_gap(tmp_path, monkeypatch):
     )
 
 
-def test_overlap_noop_scaffolds_1(tmp_path, monkeypatch):
-    cfg, final = run_case(
-        tmp_path, monkeypatch, "scaffolds_1.fa", "long_reads_1.fa", 32, 250, 0
-    )
+@pytest.mark.parametrize(
+    "target,reads,k,w",
+    [
+        ("scaffolds_1.fa", "long_reads_1.fa", 32, 250),
+        ("scaffolds_2.fa", "long_reads_2.fq.gz", 32, 100),
+        ("scaffolds_3.fa", "long_reads_3.fa.gz", 24, 250),
+    ],
+)
+def test_overlap_noop_goldens(tmp_path, monkeypatch, target, reads, k, w):
+    cfg, final = run_case(tmp_path, monkeypatch, target, reads, k, w, 0)
     prefix = cfg.resolved_prefix()
     assert_artifacts(prefix, os.path.join(GOLDEN_DIR, prefix), final)
