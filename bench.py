@@ -65,11 +65,6 @@ def run_mapping(contigs, reads, index, contig_lengths, cfg, mapper=None):
     if mapper is not None:
         stream = mapper.map_stream(iter(reads))
     else:
-        from ntlink_tpu.pipeline import _host_hit_stream
-
-        class _F:  # minimal shim: _host_hit_stream reads records itself
-            pass
-
         def host_stream():
             from ntlink_tpu.ops import nthash_np
             from ntlink_tpu.mapping import AnchorHit
