@@ -94,8 +94,15 @@ class DeviceMapper:
         else:
             import jax
 
-            # fused Pallas sketch core on real TPU; XLA elsewhere
-            use_pallas = jax.default_backend() not in ("cpu",) and L % 128 == 0
+            # fused Pallas sketch core on real TPU; XLA elsewhere. The
+            # kernel holds an (8, L) row tile (6 arrays + temps) in VMEM,
+            # so large pad buckets exceed the 16 MB scoped limit — measured
+            # OK at L=16384 (~12 MB), OOM at 65536.
+            use_pallas = (
+                jax.default_backend() not in ("cpu",)
+                and L % 128 == 0
+                and L <= 16384
+            )
             jstep = _single_device_step()
             d = self.didx
             step = lambda packed, lengths, didx: jstep(
@@ -222,6 +229,12 @@ class DeviceMapper:
             out = step(
                 jnp.asarray(packed), jnp.asarray(lengths), self.didx
             )  # async dispatch
+            # start the tiny counts transfer immediately: by drain time the
+            # metadata is already host-side (the tunnel is latency-heavy)
+            try:
+                out["meta"].copy_to_host_async()
+            except Exception:
+                pass
             in_flight.append((out, rows, row_codes, lengths))
             if len(in_flight) > 1:
                 drain(*in_flight.pop(0))
@@ -229,13 +242,21 @@ class DeviceMapper:
         def drain(out, rows, row_codes, lengths) -> None:
             from .ops.sketch_jax import _trim_width
 
-            count = np.asarray(out["count"])
-            n_mins = np.asarray(out["n_minimizers"])
-            slots = int(out["anchors"].shape[2])
-            n_planes = int(out["anchors"].shape[1])
-            # single trimmed transfer; bounded widths keep the slice cached
-            mc = min(slots, _trim_width(int(count.max())))
-            anchors = np.ascontiguousarray(out["anchors"][:, :, :mc])
+            B = int(lengths.shape[0])
+            meta = np.asarray(out["meta"])
+            count, n_mins = meta[:B], meta[B:]
+            n_planes = int(out["flat"].shape[0])
+            slots = int(out["flat"].shape[1]) // B
+            offs = np.zeros(B + 1, np.int64)
+            np.cumsum(count, out=offs[1:])
+            total = int(offs[-1])
+            if total:
+                # one exact-size transfer of every anchor in the batch
+                # (bounded trim widths keep the device slice jit-cached)
+                tw = min(int(out["flat"].shape[1]), _trim_width(total))
+                flat = np.asarray(out["flat"][:, :tw])
+                rpos_all = flat[0] & 0x1FFFFFFF
+                sbits_all = (flat[0] >> 29) & 3
             for row, i in rows.items():
                 n = int(count[row])
                 if n_mins[row] > slots:  # slot overflow: redo exactly on host
@@ -244,15 +265,20 @@ class DeviceMapper:
                 if n == 0:
                     results[i] = None
                     continue
-                a = anchors[row]
-                rpos_packed = a[0, :n]
-                rpos = rpos_packed & 0x1FFFFFFF
-                sbits = (rpos_packed >> 29) & 3
+                o = int(offs[row])
                 if n_planes == 5:
-                    hi, lo = a[3, :n], a[4, :n]
+                    hi, lo = flat[3, o : o + n], flat[4, o : o + n]
                 else:
                     hi = lo = np.zeros(n, np.int32)
-                results[i] = (n, rpos, a[1, :n], a[2, :n], sbits, hi, lo)
+                results[i] = (
+                    n,
+                    rpos_all[o : o + n],
+                    flat[1, o : o + n],
+                    flat[2, o : o + n],
+                    sbits_all[o : o + n],
+                    hi,
+                    lo,
+                )
 
         def flush_all():
             for pad, idxs in list(buckets.items()):

@@ -1,4 +1,4 @@
-/* ntlink_chain — native per-read anchor chaining + verbose formatting.
+/* ntlink_chain — native anchor chaining + verbose formatting.
  *
  * Exact C implementation of the chaining acceptance semantics
  * (mapping.chain_read_hits; reference ntlink_utils.py:200-294):
@@ -12,9 +12,17 @@
  *     .chain(cids, cpos, rpos, sbits: int32 buffers, n, read_len, k, z, x,
  *            sensitive, read_name or None)
  *       -> (runs, verbose_bytes | None)
- *   runs: list of (cid, hit_count,
- *                  first_cpos, first_rpos, first_bits,
- *                  last_cpos, last_rpos, last_bits)
+ *     .chain_batch(cids, cpos, rpos, sbits: int32 buffers (anchors for all
+ *            reads, concatenated), offsets: int64 buffer (n_reads+1),
+ *            read_lens: int32 buffer, read_names: list[str] | None,
+ *            k, z, sensitive, x)
+ *       -> (runs_bytes, run_offsets_bytes, verbose_bytes | None)
+ *     chain_batch handles the whole drained device batch in one call with
+ *     the GIL released; runs_bytes is int32[n_runs][8] rows
+ *     (cid, hit_count, first_cpos, first_rpos, first_bits,
+ *      last_cpos, last_rpos, last_bits), run_offsets_bytes is
+ *     int32[n_reads+1] prefix offsets into those rows.
+ *   runs (per-read form): list of the same 8 fields as tuples.
  *   sbits: bit0 = contig strand is '+', bit1 = read strand is '+'.
  */
 #define PY_SSIZE_T_CLEAN
@@ -28,7 +36,9 @@ typedef struct {
     PyObject_HEAD
     int32_t *clen;
     Py_ssize_t n_contigs;
-    PyObject *names; /* list of str */
+    PyObject *names;       /* list of str (owned) */
+    const char **name_ptr; /* cached UTF-8 pointers into names */
+    int32_t *name_len;
     Py_buffer clen_view;
 } ChainerObject;
 
@@ -36,6 +46,8 @@ static void Chainer_dealloc(ChainerObject *self)
 {
     if (self->clen_view.obj)
         PyBuffer_Release(&self->clen_view);
+    PyMem_Free(self->name_ptr);
+    PyMem_Free(self->name_len);
     Py_XDECREF(self->names);
     Py_TYPE(self)->tp_free((PyObject *)self);
 }
@@ -53,6 +65,8 @@ static PyObject *Chainer_new(PyTypeObject *type, PyObject *args, PyObject *kwds)
     if (!self)
         return NULL;
     memset(&self->clen_view, 0, sizeof(self->clen_view));
+    self->name_ptr = NULL;
+    self->name_len = NULL;
     if (PyObject_GetBuffer(clen_obj, &self->clen_view, PyBUF_SIMPLE) < 0) {
         Py_DECREF(self);
         return NULL;
@@ -61,6 +75,26 @@ static PyObject *Chainer_new(PyTypeObject *type, PyObject *args, PyObject *kwds)
     self->n_contigs = self->clen_view.len / 4;
     Py_INCREF(names);
     self->names = names;
+    /* cache UTF-8 pointers so the hot path never touches Python objects;
+     * PyUnicode_AsUTF8 interns the byte form inside the (owned) str */
+    Py_ssize_t nn = PyList_GET_SIZE(names);
+    self->name_ptr = PyMem_Malloc(sizeof(char *) * (nn ? nn : 1));
+    self->name_len = PyMem_Malloc(sizeof(int32_t) * (nn ? nn : 1));
+    if (!self->name_ptr || !self->name_len) {
+        Py_DECREF(self);
+        return PyErr_NoMemory();
+    }
+    for (Py_ssize_t i = 0; i < nn; i++) {
+        Py_ssize_t blen;
+        const char *s =
+            PyUnicode_AsUTF8AndSize(PyList_GET_ITEM(names, i), &blen);
+        if (!s) {
+            Py_DECREF(self);
+            return NULL;
+        }
+        self->name_ptr[i] = s;
+        self->name_len[i] = (int32_t)blen;
+    }
     return (PyObject *)self;
 }
 
@@ -71,30 +105,73 @@ typedef struct {
     int subsumed;
 } Run;
 
-static PyObject *Chainer_chain(ChainerObject *self, PyObject *args)
-{
-    Py_buffer cids_v, cpos_v, rpos_v, sbits_v;
-    Py_ssize_t n;
-    long read_len, k, z;
-    double x;
-    int sensitive;
-    PyObject *read_name;
-    if (!PyArg_ParseTuple(args, "y*y*y*y*nlllidO", &cids_v, &cpos_v, &rpos_v,
-                          &sbits_v, &n, &read_len, &k, &z, &sensitive, &x,
-                          &read_name))
-        return NULL;
-    const int32_t *cids = cids_v.buf;
-    const int32_t *cpos = cpos_v.buf;
-    const int32_t *rpos = rpos_v.buf;
-    const int32_t *sbits = sbits_v.buf;
+/* per-call scratch sized for the largest read in the batch */
+typedef struct {
+    int32_t *kept;
+    Run *runs;
+    int32_t *final_idx;
+    Run *final_runs;
+    int32_t *distinct, *mn, *mx, *mn_r, *mx_r, *cnt;
+    Py_ssize_t cap;
+} Scratch;
 
-    PyObject *result = NULL;
-    int32_t *kept = PyMem_Malloc(sizeof(int32_t) * (n ? n : 1));
-    Run *runs = PyMem_Malloc(sizeof(Run) * (n ? n : 1));
-    int32_t *final_idx = PyMem_Malloc(sizeof(int32_t) * (n ? n : 1));
-    Run *final_runs = PyMem_Malloc(sizeof(Run) * (n ? n : 1));
-    if (!kept || !runs || !final_idx || !final_runs)
-        goto done_nomem;
+static int scratch_reserve(Scratch *s, Py_ssize_t n)
+{
+    if (n <= s->cap)
+        return 0;
+    Py_ssize_t c = s->cap ? s->cap : 64;
+    while (c < n)
+        c *= 2;
+    int32_t *k2 = realloc(s->kept, sizeof(int32_t) * c);
+    Run *r2 = realloc(s->runs, sizeof(Run) * c);
+    int32_t *f2 = realloc(s->final_idx, sizeof(int32_t) * c);
+    Run *fr2 = realloc(s->final_runs, sizeof(Run) * c);
+    int32_t *d2 = realloc(s->distinct, sizeof(int32_t) * c * 6);
+    if (!k2 || !r2 || !f2 || !fr2 || !d2) {
+        /* keep old pointers for the free path */
+        if (k2) s->kept = k2;
+        if (r2) s->runs = r2;
+        if (f2) s->final_idx = f2;
+        if (fr2) s->final_runs = fr2;
+        if (d2) s->distinct = d2;
+        return -1;
+    }
+    s->kept = k2;
+    s->runs = r2;
+    s->final_idx = f2;
+    s->final_runs = fr2;
+    s->distinct = d2;
+    s->mn = d2 + c;
+    s->mx = d2 + 2 * c;
+    s->mn_r = d2 + 3 * c;
+    s->mx_r = d2 + 4 * c;
+    s->cnt = d2 + 5 * c;
+    s->cap = c;
+    return 0;
+}
+
+static void scratch_free(Scratch *s)
+{
+    free(s->kept);
+    free(s->runs);
+    free(s->final_idx);
+    free(s->final_runs);
+    free(s->distinct);
+    memset(s, 0, sizeof(*s));
+}
+
+/* Core chaining for one read over scratch buffers (pre-reserved >= n).
+ * Fills s->final_runs / s->final_idx; returns n_final. */
+static Py_ssize_t chain_core(const ChainerObject *self, const int32_t *cids,
+                             const int32_t *cpos, const int32_t *rpos,
+                             const int32_t *sbits, Py_ssize_t n, long read_len,
+                             long k, long z, int sensitive, double x,
+                             Scratch *s)
+{
+    int32_t *kept = s->kept;
+    Run *runs = s->runs;
+    int32_t *final_idx = s->final_idx;
+    Run *final_runs = s->final_runs;
 
     /* 1. z filter */
     Py_ssize_t n_kept = 0;
@@ -105,12 +182,11 @@ static PyObject *Chainer_chain(ChainerObject *self, PyObject *args)
     }
 
     /* 2. noisy-span filter: per contig, first-occurrence min/max of cpos */
-    /* collect distinct contigs among kept (usually tiny) */
     {
-        int32_t distinct[256];
-        int32_t mn[256], mx[256], mn_r[256], mx_r[256], cnt[256];
+        int32_t *distinct = s->distinct;
+        int32_t *mn = s->mn, *mx = s->mx, *mn_r = s->mn_r, *mx_r = s->mx_r,
+                *cnt = s->cnt;
         Py_ssize_t n_distinct = 0;
-        int overflow = 0;
         for (Py_ssize_t ki = 0; ki < n_kept; ki++) {
             int32_t c = cids[kept[ki]];
             Py_ssize_t d;
@@ -118,10 +194,6 @@ static PyObject *Chainer_chain(ChainerObject *self, PyObject *args)
                 if (distinct[d] == c)
                     break;
             if (d == n_distinct) {
-                if (n_distinct == 256) {
-                    overflow = 1;
-                    break;
-                }
                 distinct[n_distinct] = c;
                 mn[n_distinct] = mx[n_distinct] = cpos[kept[ki]];
                 mn_r[n_distinct] = mx_r[n_distinct] = rpos[kept[ki]];
@@ -138,11 +210,6 @@ static PyObject *Chainer_chain(ChainerObject *self, PyObject *args)
                     mx_r[d] = rpos[kept[ki]];
                 }
             }
-        }
-        if (overflow) {
-            /* >256 distinct contigs on one read: bail to the Python path */
-            PyErr_SetString(PyExc_OverflowError, "too many contigs");
-            goto done;
         }
         for (Py_ssize_t d = 0; d < n_distinct; d++) {
             if (cnt[d] < 2)
@@ -240,20 +307,98 @@ static PyObject *Chainer_chain(ChainerObject *self, PyObject *args)
             n_final++;
         }
     }
+    return n_final;
+}
 
-    /* build outputs */
+/* growable byte buffer for verbose rendering */
+typedef struct {
+    char *buf;
+    size_t len, cap;
+} ByteBuf;
+
+static int bb_reserve(ByteBuf *b, size_t extra)
+{
+    if (b->len + extra <= b->cap)
+        return 0;
+    size_t c = b->cap ? b->cap : 4096;
+    while (c < b->len + extra)
+        c *= 2;
+    char *p = realloc(b->buf, c);
+    if (!p)
+        return -1;
+    b->buf = p;
+    b->cap = c;
+    return 0;
+}
+
+/* Render one read's verbose lines into bb. Returns 0 / -1 (nomem). */
+static int render_verbose(const ChainerObject *self, ByteBuf *bb,
+                          const char *rname, Py_ssize_t rname_len,
+                          Py_ssize_t n_final, const Run *final_runs,
+                          const int32_t *final_idx, const int32_t *cpos,
+                          const int32_t *rpos, const int32_t *sbits)
+{
+    size_t need = 0;
+    for (Py_ssize_t i = 0; i < n_final; i++)
+        need += 64 + rname_len + self->name_len[final_runs[i].cid] +
+                48 * (final_runs[i].end - final_runs[i].start);
+    if (bb_reserve(bb, need) < 0)
+        return -1;
+    char *p = bb->buf + bb->len;
+    for (Py_ssize_t i = 0; i < n_final; i++) {
+        p += sprintf(p, "%s\t%s\t%d\t", rname, self->name_ptr[final_runs[i].cid],
+                     (int)(final_runs[i].end - final_runs[i].start));
+        for (int32_t ki = final_runs[i].start; ki < final_runs[i].end; ki++) {
+            int32_t h = final_idx[ki];
+            p += sprintf(p, "%d:%c_%d:%c", (int)cpos[h],
+                         (sbits[h] & 1) ? '+' : '-', (int)rpos[h],
+                         (sbits[h] & 2) ? '+' : '-');
+            *p++ = (ki + 1 < final_runs[i].end) ? ' ' : '\n';
+        }
+    }
+    bb->len = p - bb->buf;
+    return 0;
+}
+
+static PyObject *Chainer_chain(ChainerObject *self, PyObject *args)
+{
+    Py_buffer cids_v, cpos_v, rpos_v, sbits_v;
+    Py_ssize_t n;
+    long read_len, k, z;
+    double x;
+    int sensitive;
+    PyObject *read_name;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*nlllidO", &cids_v, &cpos_v, &rpos_v,
+                          &sbits_v, &n, &read_len, &k, &z, &sensitive, &x,
+                          &read_name))
+        return NULL;
+    const int32_t *cids = cids_v.buf;
+    const int32_t *cpos = cpos_v.buf;
+    const int32_t *rpos = rpos_v.buf;
+    const int32_t *sbits = sbits_v.buf;
+
+    PyObject *result = NULL;
+    Scratch s;
+    memset(&s, 0, sizeof(s));
+    if (scratch_reserve(&s, n ? n : 1) < 0) {
+        PyErr_NoMemory();
+        goto done;
+    }
+
     {
+        Py_ssize_t n_final = chain_core(self, cids, cpos, rpos, sbits, n,
+                                        read_len, k, z, sensitive, x, &s);
         PyObject *run_list = PyList_New(n_final);
         if (!run_list)
             goto done;
         for (Py_ssize_t i = 0; i < n_final; i++) {
-            int32_t a = final_idx[final_runs[i].start];
-            int32_t b = final_idx[final_runs[i].end - 1];
+            int32_t a = s.final_idx[s.final_runs[i].start];
+            int32_t b = s.final_idx[s.final_runs[i].end - 1];
             PyObject *tup = Py_BuildValue(
-                "iiiiiiii", (int)final_runs[i].cid,
-                (int)(final_runs[i].end - final_runs[i].start), (int)cpos[a],
-                (int)rpos[a], (int)sbits[a], (int)cpos[b], (int)rpos[b],
-                (int)sbits[b]);
+                "iiiiiiii", (int)s.final_runs[i].cid,
+                (int)(s.final_runs[i].end - s.final_runs[i].start),
+                (int)cpos[a], (int)rpos[a], (int)sbits[a], (int)cpos[b],
+                (int)rpos[b], (int)sbits[b]);
             if (!tup) {
                 Py_DECREF(run_list);
                 goto done;
@@ -263,48 +408,22 @@ static PyObject *Chainer_chain(ChainerObject *self, PyObject *args)
 
         PyObject *verbose = Py_None;
         if (read_name != Py_None && n_final > 0) {
-            /* render all verbose lines for this read into one bytes blob */
-            const char *rname = PyUnicode_AsUTF8(read_name);
+            Py_ssize_t rlen;
+            const char *rname = PyUnicode_AsUTF8AndSize(read_name, &rlen);
             if (!rname) {
                 Py_DECREF(run_list);
                 goto done;
             }
-            Py_ssize_t cap = 64;
-            for (Py_ssize_t i = 0; i < n_final; i++) {
-                PyObject *cn = PyList_GetItem(self->names, final_runs[i].cid);
-                Py_ssize_t cn_len = cn ? PyUnicode_GET_LENGTH(cn) : 0;
-                cap += 64 + strlen(rname) + 4 * cn_len +
-                       48 * (final_runs[i].end - final_runs[i].start);
-            }
-            char *buf = PyMem_Malloc(cap);
-            if (!buf) {
+            ByteBuf bb = {NULL, 0, 0};
+            if (render_verbose(self, &bb, rname, rlen, n_final, s.final_runs,
+                               s.final_idx, cpos, rpos, sbits) < 0) {
+                free(bb.buf);
                 Py_DECREF(run_list);
-                goto done_nomem;
+                PyErr_NoMemory();
+                goto done;
             }
-            char *p = buf;
-            for (Py_ssize_t i = 0; i < n_final; i++) {
-                PyObject *cname_obj =
-                    PyList_GetItem(self->names, final_runs[i].cid);
-                const char *cname =
-                    cname_obj ? PyUnicode_AsUTF8(cname_obj) : NULL;
-                if (!cname) {
-                    PyMem_Free(buf);
-                    Py_DECREF(run_list);
-                    goto done;
-                }
-                p += sprintf(p, "%s\t%s\t%d\t", rname, cname,
-                             (int)(final_runs[i].end - final_runs[i].start));
-                for (int32_t ki = final_runs[i].start; ki < final_runs[i].end;
-                     ki++) {
-                    int32_t h = final_idx[ki];
-                    p += sprintf(p, "%d:%c_%d:%c", (int)cpos[h],
-                                 (sbits[h] & 1) ? '+' : '-', (int)rpos[h],
-                                 (sbits[h] & 2) ? '+' : '-');
-                    *p++ = (ki + 1 < final_runs[i].end) ? ' ' : '\n';
-                }
-            }
-            verbose = PyBytes_FromStringAndSize(buf, p - buf);
-            PyMem_Free(buf);
+            verbose = PyBytes_FromStringAndSize(bb.buf, bb.len);
+            free(bb.buf);
             if (!verbose) {
                 Py_DECREF(run_list);
                 goto done;
@@ -316,15 +435,9 @@ static PyObject *Chainer_chain(ChainerObject *self, PyObject *args)
         Py_DECREF(run_list);
         Py_DECREF(verbose);
     }
-    goto done;
 
-done_nomem:
-    PyErr_NoMemory();
 done:
-    PyMem_Free(kept);
-    PyMem_Free(runs);
-    PyMem_Free(final_idx);
-    PyMem_Free(final_runs);
+    scratch_free(&s);
     PyBuffer_Release(&cids_v);
     PyBuffer_Release(&cpos_v);
     PyBuffer_Release(&rpos_v);
@@ -332,10 +445,185 @@ done:
     return result;
 }
 
+/* growable int32 buffer for batched run rows */
+typedef struct {
+    int32_t *buf;
+    size_t len, cap; /* in int32 units */
+} I32Buf;
+
+static int ib_reserve(I32Buf *b, size_t extra)
+{
+    if (b->len + extra <= b->cap)
+        return 0;
+    size_t c = b->cap ? b->cap : 1024;
+    while (c < b->len + extra)
+        c *= 2;
+    int32_t *p = realloc(b->buf, c * sizeof(int32_t));
+    if (!p)
+        return -1;
+    b->buf = p;
+    b->cap = c;
+    return 0;
+}
+
+static PyObject *Chainer_chain_batch(ChainerObject *self, PyObject *args)
+{
+    Py_buffer cids_v, cpos_v, rpos_v, sbits_v, offs_v, rlens_v;
+    PyObject *read_names;
+    long k, z;
+    double x;
+    int sensitive;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*Ollid", &cids_v, &cpos_v,
+                          &rpos_v, &sbits_v, &offs_v, &rlens_v, &read_names,
+                          &k, &z, &sensitive, &x))
+        return NULL;
+    const int32_t *cids = cids_v.buf;
+    const int32_t *cpos = cpos_v.buf;
+    const int32_t *rpos = rpos_v.buf;
+    const int32_t *sbits = sbits_v.buf;
+    const int64_t *offs = offs_v.buf;
+    const int32_t *rlens = rlens_v.buf;
+    Py_ssize_t n_reads = offs_v.len / 8 - 1;
+
+    PyObject *result = NULL;
+    int want_verbose = (read_names != Py_None);
+    const char **rname = NULL;
+    int32_t *rname_len = NULL;
+    int32_t *run_offs = NULL;
+    Scratch s;
+    ByteBuf vb = {NULL, 0, 0};
+    I32Buf rb = {NULL, 0, 0};
+    memset(&s, 0, sizeof(s));
+    int failed = 0;
+
+    if (want_verbose) {
+        if (!PyList_Check(read_names) ||
+            PyList_GET_SIZE(read_names) != n_reads) {
+            PyErr_SetString(PyExc_TypeError,
+                            "read_names must be a list of len n_reads");
+            goto done;
+        }
+        rname = PyMem_Malloc(sizeof(char *) * (n_reads ? n_reads : 1));
+        rname_len = PyMem_Malloc(sizeof(int32_t) * (n_reads ? n_reads : 1));
+        if (!rname || !rname_len) {
+            PyErr_NoMemory();
+            goto done;
+        }
+        for (Py_ssize_t i = 0; i < n_reads; i++) {
+            Py_ssize_t blen;
+            const char *p = PyUnicode_AsUTF8AndSize(
+                PyList_GET_ITEM(read_names, i), &blen);
+            if (!p)
+                goto done;
+            rname[i] = p;
+            rname_len[i] = (int32_t)blen;
+        }
+    }
+    run_offs = PyMem_Malloc(sizeof(int32_t) * (n_reads + 1));
+    if (!run_offs) {
+        PyErr_NoMemory();
+        goto done;
+    }
+
+    Py_ssize_t max_n = 1;
+    for (Py_ssize_t i = 0; i < n_reads; i++) {
+        Py_ssize_t n = (Py_ssize_t)(offs[i + 1] - offs[i]);
+        if (n > max_n)
+            max_n = n;
+    }
+    if (scratch_reserve(&s, max_n) < 0) {
+        PyErr_NoMemory();
+        goto done;
+    }
+
+    Py_BEGIN_ALLOW_THREADS
+    run_offs[0] = 0;
+    for (Py_ssize_t i = 0; i < n_reads && !failed; i++) {
+        int64_t o = offs[i];
+        Py_ssize_t n = (Py_ssize_t)(offs[i + 1] - o);
+        Py_ssize_t n_final =
+            n ? chain_core(self, cids + o, cpos + o, rpos + o, sbits + o, n,
+                           rlens[i], k, z, sensitive, x, &s)
+              : 0;
+        if (ib_reserve(&rb, (size_t)n_final * 8) < 0) {
+            failed = 1;
+            break;
+        }
+        for (Py_ssize_t r = 0; r < n_final; r++) {
+            int32_t a = s.final_idx[s.final_runs[r].start];
+            int32_t b = s.final_idx[s.final_runs[r].end - 1];
+            int32_t *row = rb.buf + rb.len;
+            row[0] = s.final_runs[r].cid;
+            row[1] = s.final_runs[r].end - s.final_runs[r].start;
+            row[2] = cpos[o + a];
+            row[3] = rpos[o + a];
+            row[4] = sbits[o + a];
+            row[5] = cpos[o + b];
+            row[6] = rpos[o + b];
+            row[7] = sbits[o + b];
+            rb.len += 8;
+        }
+        run_offs[i + 1] = (int32_t)(rb.len / 8);
+        if (want_verbose && n_final > 0 &&
+            render_verbose(self, &vb, rname[i], rname_len[i], n_final,
+                           s.final_runs, s.final_idx, cpos + o, rpos + o,
+                           sbits + o) < 0)
+            failed = 1;
+    }
+    Py_END_ALLOW_THREADS
+
+    if (failed) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    {
+        PyObject *runs_b =
+            PyBytes_FromStringAndSize((char *)rb.buf, rb.len * sizeof(int32_t));
+        PyObject *offs_b = PyBytes_FromStringAndSize(
+            (char *)run_offs, (n_reads + 1) * sizeof(int32_t));
+        PyObject *verbose;
+        if (want_verbose)
+            verbose = PyBytes_FromStringAndSize(vb.buf, vb.len);
+        else {
+            verbose = Py_None;
+            Py_INCREF(Py_None);
+        }
+        if (!runs_b || !offs_b || !verbose) {
+            Py_XDECREF(runs_b);
+            Py_XDECREF(offs_b);
+            Py_XDECREF(verbose);
+            goto done;
+        }
+        result = PyTuple_Pack(3, runs_b, offs_b, verbose);
+        Py_DECREF(runs_b);
+        Py_DECREF(offs_b);
+        Py_DECREF(verbose);
+    }
+
+done:
+    scratch_free(&s);
+    free(vb.buf);
+    free(rb.buf);
+    PyMem_Free(run_offs);
+    PyMem_Free(rname);
+    PyMem_Free(rname_len);
+    PyBuffer_Release(&cids_v);
+    PyBuffer_Release(&cpos_v);
+    PyBuffer_Release(&rpos_v);
+    PyBuffer_Release(&sbits_v);
+    PyBuffer_Release(&offs_v);
+    PyBuffer_Release(&rlens_v);
+    return result;
+}
+
 static PyMethodDef Chainer_methods[] = {
     {"chain", (PyCFunction)Chainer_chain, METH_VARARGS,
      "chain(cids, cpos, rpos, sbits, n, read_len, k, z, sensitive, x, "
      "read_name) -> (runs, verbose_bytes|None)"},
+    {"chain_batch", (PyCFunction)Chainer_chain_batch, METH_VARARGS,
+     "chain_batch(cids, cpos, rpos, sbits, offsets, read_lens, read_names, "
+     "k, z, sensitive, x) -> (runs_bytes, run_offsets_bytes, "
+     "verbose_bytes|None)"},
     {NULL, NULL, 0, NULL},
 };
 

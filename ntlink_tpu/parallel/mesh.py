@@ -146,12 +146,13 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
                         max_anchors: int, use_pallas: bool = False,
                         with_hashes: bool = True):
     """Fused mapping step: unpack -> sketch -> compact minimizers ->
-    hash-join -> compact matches. All outputs are O(anchors), not O(bases).
-
-    Returns per-read `count` plus `max_anchors`-slot arrays: read positions
-    (strand bits packed in bits 29/30), contig ids / positions, and — only
-    when `with_hashes` (repeat filter) — matched hash halves.
-    `use_pallas` selects the fused Pallas sketch core (TPU only).
+    hash-join -> global anchor compaction. Outputs are O(anchors), not
+    O(bases): `meta` = per-read [counts | n_minimizers] (2B,) and `flat` =
+    (planes, B*S) with all matched anchors packed front in read order —
+    plane 0 read positions (strand bits in bits 29/30), plane 1 contig ids,
+    plane 2 contig positions, planes 3/4 hash halves only when
+    `with_hashes` (repeat filter). `use_pallas` selects the fused Pallas
+    sketch core (TPU only).
     """
     codes = unpack_codes(packed, L)
     if use_pallas:
@@ -179,35 +180,30 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
     )
     found = found & sel_ok
     n_minimizers = emit.sum(axis=1).astype(jnp.int32)
+    count = found.sum(axis=1).astype(jnp.int32)
 
-    # compact matched anchors to the front (order preserved) and stack all
-    # payloads into ONE tensor: transfers over slow links are
-    # latency-dominated, so one output beats nine
-    order = jnp.argsort(~found, axis=1, stable=True)
-    take = lambda a: jnp.take_along_axis(a, order, axis=1)
-    found_c = take(found)
+    # Global (whole-batch) anchor compaction: every matched anchor, in
+    # row-major read order, packed to the front of ONE flat tensor. The
+    # host slices it to the exact total anchor count, so the D2H transfer
+    # is O(total anchors) bytes — the link (not the chip) is the scarce
+    # resource here. Stable argsort over the flattened mask preserves
+    # both read order and within-read anchor order.
+    order_flat = jnp.argsort(~found.reshape(-1), stable=True)
+    takef = lambda a: a.reshape(-1)[order_flat]
     # strand bits ride in the read-position word (positions < 2^21)
     rpos_packed = (
-        take(m_pos)
-        | (take(cstrand).astype(jnp.int32) << 29)
-        | (take(m_fwd).astype(jnp.int32) << 30)
+        m_pos
+        | (cstrand.astype(jnp.int32) << 29)
+        | (m_fwd.astype(jnp.int32) << 30)
     )
-    planes = [
-        jnp.where(found_c, rpos_packed, -1),
-        jnp.where(found_c, take(cid), -1),
-        jnp.where(found_c, take(cpos), -1),
-    ]
+    planes = [takef(rpos_packed), takef(cid), takef(cpos)]
     if with_hashes:
-        planes += [
-            take(q_hi).astype(jnp.int32),
-            take(q_lo).astype(jnp.int32),
-        ]
-    anchors = jnp.stack(planes, axis=1)
-    # (B, 3|5, S) int32: per-read column slices stay contiguous on host
+        planes += [takef(q_hi).astype(jnp.int32), takef(q_lo).astype(jnp.int32)]
+    flat = jnp.stack(planes, axis=0)  # (3|5, B*S) int32
     return {
-        "count": found.sum(axis=1).astype(jnp.int32),
-        "n_minimizers": n_minimizers,  # overflow check: > max_anchors
-        "anchors": anchors,
+        # tiny per-row metadata in one tensor: async-prefetched at dispatch
+        "meta": jnp.concatenate([count, n_minimizers]),
+        "flat": flat,
         "n_anchors": found.sum(),
     }
 

@@ -112,75 +112,95 @@ def _make_native_chainer(mapper, contig_lengths):
     return chain_mod.Chainer(clen, mapper.contig_names)
 
 
-def _python_chain_raw(raw, names, read_len, contig_lengths, cfg):
-    """Exact Python chaining over one read's raw anchor arrays."""
-    from .mapping import AnchorHit as AH
-
-    n, rpos, cid, cpos, sbits, _, _ = raw
-    hits = [
-        (names[c], AH(0, p, "+" if b & 1 else "-", r, "+" if b & 2 else "-"))
-        for r, c, p, b in zip(
-            rpos[:n].tolist(), cid[:n].tolist(),
-            cpos[:n].tolist(), sbits[:n].tolist(),
-        )
-    ]
-    return chain_read_hits(
-        hits, read_len, contig_lengths, cfg.k, cfg.z,
-        x=cfg.x, sensitive=cfg.sensitive,
-    )
-
-
 def _write_verbose(fh, name, runs) -> None:
     for run in runs:
         fh.write(
-            f"{name}\t{run.contig}\t{run.hit_count}\t{run.hits_string()}\n"
+            f"{name}\t{run.contig}\t{run.hit_count}\t{run.hits_string()}\n".encode()
         )
 
 
+# reads per native chain_batch call: one C crossing + one verbose write per
+# group instead of per read (~8k reads x ~150 anchors x 16 B ~= 20 MB peak)
+CHAIN_GROUP = 8192
+
+
 def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh):
-    """Hot loop: device batches + C chaining, zero per-anchor Python."""
+    """Hot loop: device batches + one C chain_batch call per read group.
+
+    Zero per-anchor Python anywhere; per-read Python is one list append.
+    Only reads producing >= 2 accepted runs surface as Python objects (the
+    pair tally is a no-op below that; reference ntlink_pair.py:416-435).
+    """
+    import numpy as np
+
     from .mapping import AnchorHit as AH, RunView
     from .seqio.fastx import stream_codes
 
     names = mapper.contig_names
     n_reads = 0
+    g_names: list = []
+    g_lens: list = []
+    g_raw: list = []
+
+    def flush_group() -> None:
+        if not g_names:
+            return
+        n_g = len(g_names)
+        offs = np.zeros(n_g + 1, np.int64)
+        for i, raw in enumerate(g_raw):
+            offs[i + 1] = offs[i] + (raw[0] if raw is not None else 0)
+        total = int(offs[-1])
+        cid = np.empty(total, np.int32)
+        cpos = np.empty(total, np.int32)
+        rpos = np.empty(total, np.int32)
+        sbits = np.empty(total, np.int32)
+        for i, raw in enumerate(g_raw):
+            if raw is None:
+                continue
+            o, n = int(offs[i]), raw[0]
+            rpos[o : o + n] = raw[1]
+            cid[o : o + n] = raw[2]
+            cpos[o : o + n] = raw[3]
+            sbits[o : o + n] = raw[4]
+        rlens = np.asarray(g_lens, np.int32)
+        runs_b, ro_b, vbytes = chainer.chain_batch(
+            cid, cpos, rpos, sbits, offs, rlens,
+            g_names if verbose_fh else None,
+            cfg.k, cfg.z, 1 if cfg.sensitive else 0, float(cfg.x),
+        )
+        if verbose_fh and vbytes:
+            verbose_fh.write(vbytes)
+        runs_arr = np.frombuffer(runs_b, np.int32).reshape(-1, 8)
+        ro = np.frombuffer(ro_b, np.int32)
+        for i in np.nonzero(np.diff(ro) >= 2)[0]:
+            runs = [
+                RunView(
+                    names[int(row[0])],
+                    int(row[1]),
+                    AH(0, int(row[2]), "+" if row[4] & 1 else "-",
+                       int(row[3]), "+" if row[4] & 2 else "-"),
+                    AH(0, int(row[5]), "+" if row[7] & 1 else "-",
+                       int(row[6]), "+" if row[7] & 2 else "-"),
+                )
+                for row in runs_arr[ro[i] : ro[i + 1]]
+            ]
+            tally.add_read(runs, int(rlens[i]))
+        g_names.clear()
+        g_lens.clear()
+        g_raw.clear()
+
     for reads_file in cfg.reads:
-        log("Mapping reads", reads_file, "(native chain)")
+        log("Mapping reads", reads_file, "(native batch chain)")
         for name, read_len, raw in mapper.map_stream_raw(
             prefetch_iter(stream_codes(reads_file))
         ):
             n_reads += 1
-            if raw is None:
-                continue
-            n, rpos, cid, cpos, sbits, _, _ = raw
-            try:
-                runs_raw, vbytes = chainer.chain(
-                    cid, cpos, rpos, sbits, n, read_len, cfg.k, cfg.z,
-                    1 if cfg.sensitive else 0, float(cfg.x),
-                    name if verbose_fh else None,
-                )
-            except OverflowError:
-                # >256 distinct contigs on one read: exact Python path
-                runs = _python_chain_raw(raw, names, read_len, contig_lengths, cfg)
-                if runs:
-                    if verbose_fh:
-                        _write_verbose(verbose_fh, name, runs)
-                    tally.add_read(runs, read_len)
-                continue
-            if not runs_raw:
-                continue
-            if verbose_fh and vbytes is not None:
-                verbose_fh.write(vbytes.decode("ascii"))
-            runs = [
-                RunView(
-                    names[c],
-                    cnt,
-                    AH(0, fc, "+" if fb & 1 else "-", fr, "+" if fb & 2 else "-"),
-                    AH(0, lc, "+" if lb & 1 else "-", lr, "+" if lb & 2 else "-"),
-                )
-                for c, cnt, fc, fr, fb, lc, lr, lb in runs_raw
-            ]
-            tally.add_read(runs, read_len)
+            g_names.append(name)
+            g_lens.append(read_len)
+            g_raw.append(raw)
+            if len(g_names) >= CHAIN_GROUP:
+                flush_group()
+        flush_group()
     return n_reads
 
 
@@ -241,7 +261,7 @@ def map_reads(
     path. All paths preserve the reference's exact order-sensitive semantics.
     """
     tally = PairTally(contig_lengths, cfg.k, cfg.f)
-    verbose_fh = open(verbose_path, "w") if verbose_path else None
+    verbose_fh = open(verbose_path, "wb") if verbose_path else None
     paf_fh = open(paf_path, "w") if paf_path else None
 
     mapper = _make_device_mapper(cfg, index)

@@ -125,22 +125,34 @@ def test_non_conservative_mode_e2e(tmp_path, monkeypatch):
     assert os.path.exists(os.path.realpath(final))
 
 
-def test_native_chainer_overflow_guard():
+def test_native_chainer_many_distinct_contigs():
+    """Reads hitting hundreds of distinct contigs chain exactly (the old
+    fixed-size scratch raised OverflowError; scratch is dynamic now)."""
     import numpy as np
 
+    from ntlink_tpu.mapping import AnchorHit, chain_read_hits
     from ntlink_tpu.native import chain_module
 
     mod = chain_module()
     if mod is None:
         return
-    n = 300
+    n = 600
     clen = np.full(n, 5000, np.int32)
     names = [f"c{i}" for i in range(n)]
+    lengths = {names[i]: 5000 for i in range(n)}
     ch = mod.Chainer(clen, names)
-    cids = np.arange(n, dtype=np.int32)
-    zeros = np.zeros(n, np.int32)
-    try:
-        ch.chain(cids, zeros, zeros, zeros, n, 1000, 32, 100, 0, 0.0, None)
-        raise AssertionError("expected OverflowError")
-    except OverflowError:
-        pass
+    rng = np.random.default_rng(7)
+    cids = rng.integers(0, n, size=n).astype(np.int32)
+    cpos = rng.integers(0, 5000, size=n).astype(np.int32)
+    rpos = np.sort(rng.integers(0, 4000, size=n)).astype(np.int32)
+    sbits = rng.integers(0, 4, size=n).astype(np.int32)
+    runs_raw, _ = ch.chain(cids, cpos, rpos, sbits, n, 4000, 32, 100, 0, 0.0, None)
+    hits = [
+        (names[c], AnchorHit(0, int(p), "+" if b & 1 else "-", int(r),
+                             "+" if b & 2 else "-"))
+        for c, p, r, b in zip(cids, cpos, rpos, sbits)
+    ]
+    expected = chain_read_hits(hits, 4000, lengths, k=32, z=100, x=0.0)
+    assert len(runs_raw) == len(expected)
+    for got, run in zip(runs_raw, expected):
+        assert names[got[0]] == run.contig and got[1] == run.hit_count
