@@ -31,6 +31,10 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+#: adaptive flat-transfer caps, keyed (k, w) -> {pad: cap}
+_FLAT_CAPS: Dict[tuple, Dict[int, int]] = {}
+
+
 @functools.lru_cache(maxsize=1)
 def _single_device_step():
     """Module-level jitted mapping step: one compile cache shared by every
@@ -75,6 +79,9 @@ class DeviceMapper:
         self.n_devices = len(jax.devices()) if use_mesh else 1
         self.with_hashes = with_hashes
         self._steps: Dict[Tuple[int, int], object] = {}
+        # observed-anchor-volume cap per pad bucket (process-wide so warmup
+        # teaches later mapper instances); see drain()
+        self._flat_caps = _FLAT_CAPS.setdefault((k, w), {})
 
     def _slots_for(self, L: int) -> int:
         """Minimizer slot budget for padded length L (density ~2/(w+1))."""
@@ -196,11 +203,39 @@ class DeviceMapper:
         encoded: Dict[int, np.ndarray] = {}
         buckets: Dict[int, List[int]] = {}
 
-        in_flight: List[tuple] = []  # double-buffer: overlap device + host
+        import queue as queue_mod
+        import threading
 
         from .native import fastx_module
 
         native = fastx_module()
+
+        # drained by a background thread so the main thread never blocks
+        # on device->host transfer waits (jax releases the GIL there)
+        work_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+        drain_err: List[BaseException] = []
+        drainer: List[threading.Thread] = []
+
+        def drain_loop() -> None:
+            while True:
+                ent = work_q.get()
+                try:
+                    if ent is not None and not drain_err:
+                        drain(*ent)
+                except BaseException as exc:  # surfaced at next flush_all
+                    drain_err.append(exc)
+                finally:
+                    work_q.task_done()
+                if ent is None:
+                    return
+
+        def ensure_drainer() -> None:
+            if not drainer:
+                t = threading.Thread(
+                    target=drain_loop, daemon=True, name="ntlink-drain"
+                )
+                t.start()
+                drainer.append(t)
 
         def flush_bucket(pad: int, idxs: List[int]) -> None:
             # fixed batch height per bucket: exactly one compile per bucket
@@ -229,17 +264,30 @@ class DeviceMapper:
             out = step(
                 jnp.asarray(packed), jnp.asarray(lengths), self.didx
             )  # async dispatch
-            # start the tiny counts transfer immediately: by drain time the
-            # metadata is already host-side (the tunnel is latency-heavy)
+            # start both D2H copies immediately (async): metadata and an
+            # adaptively capped anchor prefix stream over the link while
+            # the host packs the next batch — the steady state pays zero
+            # synchronous round trips per batch. The cap starts at half
+            # the slot budget and tightens to the observed anchor volume
+            # (pow2 widths keep the slice executables cached).
+            cap = min(
+                int(out["flat"].shape[1]),
+                self._flat_caps.get(pad, int(out["flat"].shape[1]) // 2),
+            )
+            sliced = out["flat"][:, :cap]
             try:
                 out["meta"].copy_to_host_async()
+                sliced.copy_to_host_async()
             except Exception:
                 pass
-            in_flight.append((out, rows, row_codes, lengths))
-            if len(in_flight) > 1:
-                drain(*in_flight.pop(0))
+            # hand the batch to the drainer thread: np.asarray on a jax
+            # array releases the GIL, so D2H waits overlap the main
+            # thread's packing/dispatch. Queue depth 2 bounds device
+            # memory and tunnel queueing (backpressure via put()).
+            ensure_drainer()
+            work_q.put((out, sliced, pad, rows, row_codes, lengths))
 
-        def drain(out, rows, row_codes, lengths) -> None:
+        def drain(out, sliced, pad, rows, row_codes, lengths) -> None:
             from .ops.sketch_jax import _trim_width
 
             B = int(lengths.shape[0])
@@ -250,11 +298,22 @@ class DeviceMapper:
             offs = np.zeros(B + 1, np.int64)
             np.cumsum(count, out=offs[1:])
             total = int(offs[-1])
+            # adapt next dispatch's cap: 1.5x headroom over the largest
+            # batch, scaled to a full batch (warmup batches are mostly
+            # padding). Undershoot costs one corrective round trip; pow2
+            # widths cluster tightly, so totals rarely cross the cap.
+            n_filled = int((lengths > 0).sum())
+            scaled = total * B // max(1, n_filled)
+            prev = self._flat_caps.get(pad, 0)
+            want = max(prev, min(int(out["flat"].shape[1]),
+                                 _next_pow2(max(3 * scaled // 2, 4096))))
+            self._flat_caps[pad] = want
             if total:
-                # one exact-size transfer of every anchor in the batch
-                # (bounded trim widths keep the device slice jit-cached)
-                tw = min(int(out["flat"].shape[1]), _trim_width(total))
-                flat = np.asarray(out["flat"][:, :tw])
+                if total <= int(sliced.shape[1]):
+                    flat = np.asarray(sliced)  # already streaming
+                else:  # cap undershot this batch: one corrective round trip
+                    tw = min(int(out["flat"].shape[1]), _trim_width(total))
+                    flat = np.asarray(out["flat"][:, :tw])
                 rpos_all = flat[0] & 0x1FFFFFFF
                 sbits_all = (flat[0] >> 29) & 3
             for row, i in rows.items():
@@ -285,40 +344,48 @@ class DeviceMapper:
                 if idxs:
                     flush_bucket(pad, idxs)
             buckets.clear()
-            while in_flight:
-                drain(*in_flight.pop(0))
+            work_q.join()
+            if drain_err:
+                raise drain_err[0]
             for i, (name, length) in enumerate(pending):
                 yield name, length, results[i]
             pending.clear()
             results.clear()
 
-        budget = 0
-        for name, payload in named_seqs:
-            i = len(pending)
-            pending.append((name, len(payload)))
-            codes = (
-                payload
-                if isinstance(payload, np.ndarray)
-                else nthash_np.encode(payload)
-            )
-            seq = payload
-            if (
-                len(seq) < self.k
-                or len(seq) > self.MAX_PAD
-                or (codes > 3).any()
-            ):
-                results[i] = self._host_map_raw(codes)
-                continue
-            encoded[i] = codes
-            pad = self._pad_len(len(seq))
-            bucket = buckets.setdefault(pad, [])
-            bucket.append(i)
-            cap = max(self.n_devices, _next_pow2(max(1, self.batch_bases // pad)))
-            if len(bucket) >= cap:
-                flush_bucket(pad, bucket)
-                buckets[pad] = []
-            budget += pad
-            if budget >= 4 * self.batch_bases:
-                yield from flush_all()
-                budget = 0
-        yield from flush_all()
+        try:
+            budget = 0
+            for name, payload in named_seqs:
+                i = len(pending)
+                pending.append((name, len(payload)))
+                codes = (
+                    payload
+                    if isinstance(payload, np.ndarray)
+                    else nthash_np.encode(payload)
+                )
+                seq = payload
+                if (
+                    len(seq) < self.k
+                    or len(seq) > self.MAX_PAD
+                    or (codes > 3).any()
+                ):
+                    results[i] = self._host_map_raw(codes)
+                    continue
+                encoded[i] = codes
+                pad = self._pad_len(len(seq))
+                bucket = buckets.setdefault(pad, [])
+                bucket.append(i)
+                cap = max(
+                    self.n_devices, _next_pow2(max(1, self.batch_bases // pad))
+                )
+                if len(bucket) >= cap:
+                    flush_bucket(pad, bucket)
+                    buckets[pad] = []
+                budget += pad
+                if budget >= 4 * self.batch_bases:
+                    yield from flush_all()
+                    budget = 0
+            yield from flush_all()
+        finally:
+            if drainer:
+                work_q.put(None)
+                drainer[0].join(timeout=60)

@@ -7,16 +7,21 @@ estimates `d` and support `n`), lay out linear scaffold paths:
 2. remove transitive edges (an edge u->w bypassed by a longer u..w path):
    these arise from the pair tally's full transitive edge addition
    (reference ntlink_pair.py:416-435) and must not break unambiguous chains,
-3. assemble maximal unambiguous chains (every link u->v with out_degree(u)==1
+3. resolve ambiguous subgraphs the way ABySS Scaffold does — prune tips,
+   clear repeat vertices, drop doubly-dominated weak edges, prune tips
+   again (see the function docstrings; DESIGN.md documents each heuristic
+   and where it intentionally diverges),
+4. assemble maximal unambiguous chains (every link u->v with out_degree(u)==1
    and in_degree(v)==1),
-4. deduplicate reverse-complement twins,
-5. render the path file with the abyss-scaffold gap convention:
+5. deduplicate reverse-complement twins,
+6. render the path file with the abyss-scaffold gap convention:
    gap = max(d, min_gap) + 1,
-6. emit an n-sweep N50 table (abyss-fac format) used for optimal-n selection.
+7. emit an n-sweep N50 table (abyss-fac format) used for optimal-n selection.
 
 The contract (path-file grammar, +1 gap bias, stderr table consumed by the
 stitch stage) is reverse-engineered from the reference pipeline's goldens;
-see DESIGN.md and PARITY.md.
+see DESIGN.md and PARITY.md. On fully unambiguous graphs (all the golden
+datasets) the ambiguity passes are structural no-ops, preserving byte parity.
 """
 from __future__ import annotations
 
@@ -63,6 +68,120 @@ def remove_transitive_edges(g: ScaffoldGraph) -> ScaffoldGraph:
         if _has_alternate_path(out, s, t):
             out.remove_edge(s, t)
     return out
+
+
+# -- ambiguous-graph resolution (ABySS Scaffold heuristics) -----------------
+#
+# Real long-read data produces branchy scaffold graphs (repeats, chimeric
+# joins, spurious low-support links). The reference resolves them inside
+# `abyss-scaffold` (invoked ntLink:228-231); these passes replicate its
+# tip / repeat / weak-edge handling on our doubled RC-closed graph. Every
+# mutation is mirrored onto the reverse-complement twin edge so the graph
+# stays RC-closed (assemble_paths relies on that for twin dedup).
+
+
+def remove_edge_rc(g: ScaffoldGraph, u: str, v: str) -> None:
+    """Remove edge (u, v) and its reverse-complement twin."""
+    g.remove_edge(u, v)
+    fu, fv = flip_node(u), flip_node(v)
+    if (fv, fu) != (u, v):
+        g.remove_edge(fv, fu)
+
+
+def prune_tips(g: ScaffoldGraph) -> int:
+    """Drop links into dead-end branches, iterating to a fixpoint.
+
+    A tip is a vertex t with in_degree==1 and out_degree==0 whose sole
+    predecessor u branches (out_degree(u) > 1). A tip link is cut only
+    when it is strictly weaker than u's best-supported out-edge: a
+    dead-end that carries the strongest evidence is kept (it may be the
+    genuine chromosome end) and the ambiguity stands. Mirrors ABySS
+    Scaffold's pruneTips on the doubled graph; returns the number of
+    removed links.
+    """
+    removed = 0
+    changed = True
+    while changed:
+        changed = False
+        for u in list(g.nodes()):
+            if g.out_degree(u) < 2:
+                continue
+            succs = list(g.successors(u))
+            best_n = max(g.edge(u, t).n for t in succs)
+            doomed = [
+                t for t in succs
+                if g.out_degree(t) == 0
+                and g.in_degree(t) == 1
+                and g.edge(u, t).n < best_n
+            ]
+            for t in doomed:
+                remove_edge_rc(g, u, t)
+                removed += 1
+                changed = True
+    return removed
+
+
+def remove_repeats(g: ScaffoldGraph) -> List[str]:
+    """Clear vertices that look like collapsed repeats.
+
+    A repeat vertex has >= 2 predecessors and >= 2 successors: it cannot
+    sit inside any unambiguous chain, and its links inflate the degree of
+    every neighbour. Clearing it (ABySS Scaffold's removeRepeats) lets the
+    flanking contigs link through their remaining evidence; the repeat is
+    emitted as a singleton. Returns the cleared (oriented) vertices.
+    """
+    cleared = []
+    for v in list(g.nodes()):
+        if v.endswith("-"):
+            continue  # handle each contig once; twin mirrored below
+        if g.in_degree(v) < 2 or g.out_degree(v) < 2:
+            continue
+        for t in list(g.successors(v)):
+            remove_edge_rc(g, v, t)
+        for s in list(g.predecessors(v)):
+            remove_edge_rc(g, s, v)
+        fv = flip_node(v)
+        for t in list(g.successors(fv)):
+            remove_edge_rc(g, fv, t)
+        for s in list(g.predecessors(fv)):
+            remove_edge_rc(g, s, fv)
+        cleared.append(v)
+    return cleared
+
+
+def remove_weak_edges(g: ScaffoldGraph) -> int:
+    """Drop edges dominated at BOTH endpoints (ABySS Scaffold semantics).
+
+    An edge (u, v) is weak when some other edge out of u has strictly
+    greater support AND some other edge into v has strictly greater
+    support. One simultaneous pass over a snapshot (removals do not
+    cascade within the pass); returns the number of removed edges.
+    """
+    weak = []
+    for u, v, attr in list(g.edges()):
+        out_better = any(
+            g.edge(u, t).n > attr.n for t in g.successors(u) if t != v
+        )
+        if not out_better:
+            continue
+        in_better = any(
+            g.edge(s, v).n > attr.n for s in g.predecessors(v) if s != u
+        )
+        if in_better:
+            weak.append((u, v))
+    for u, v in weak:
+        if g.has_edge(u, v):
+            remove_edge_rc(g, u, v)
+    return len(weak)
+
+
+def resolve_ambiguities(g: ScaffoldGraph) -> None:
+    """ABySS Scaffold's resolution sequence: tips, repeats, weak edges,
+    tips again (in place). No-op on fully unambiguous graphs."""
+    prune_tips(g)
+    remove_repeats(g)
+    remove_weak_edges(g)
+    prune_tips(g)
 
 
 @dataclass
@@ -150,6 +269,7 @@ def layout(
             for s in list(g.predecessors(node)):
                 g.remove_edge(s, node)
     g = remove_transitive_edges(g)
+    resolve_ambiguities(g)
     paths = assemble_paths(g, min_gap)
     placed = {n[:-1] for p in paths for n in p.nodes}
     return LayoutResult(paths, placed)

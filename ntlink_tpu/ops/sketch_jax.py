@@ -199,15 +199,14 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
 
 
 def _trim_width(mc: int) -> int:
-    """Column width for trimmed transfers: pow2 up to 1024 (tight jit
-    cache), then multiples of 1024 (tight bytes)."""
+    """Column width for trimmed transfers: next power of two. Every
+    distinct width is a fresh device-slice compile (~0.4 s over the
+    tunnel), so a handful of reusable shapes beats byte-tight trims."""
     mc = max(1, mc)
-    if mc <= 1024:
-        p = 1
-        while p < mc:
-            p <<= 1
-        return p
-    return (mc + 1023) & ~1023
+    p = 1
+    while p < mc:
+        p <<= 1
+    return p
 
 
 @functools.lru_cache(maxsize=1)

@@ -1,0 +1,144 @@
+"""Ambiguous-graph layout: tips, repeats, weak edges (ABySS Scaffold
+heuristics — reference invokes abyss-scaffold at ntLink:228-231; no golden
+exercises branchy graphs, so these synthetic adversarial cases pin the
+behavior and prove the engine lays out at least as well as the previous
+unambiguous-chains-only layout)."""
+from ntlink_tpu.graphio import EdgeAttr, ScaffoldGraph
+from ntlink_tpu.layout import (
+    assemble_paths,
+    flip_node,
+    layout,
+    prune_tips,
+    remove_repeats,
+    remove_weak_edges,
+    resolve_ambiguities,
+)
+
+
+def add_pair(g, u, v, n=3, d=100):
+    """Add an oriented link and its reverse-complement twin."""
+    g.add_edge(u, v, EdgeAttr(d=d, n=n))
+    g.add_edge(flip_node(v), flip_node(u), EdgeAttr(d=d, n=n))
+
+
+def build(edges, lengths=None):
+    g = ScaffoldGraph()
+    for e in edges:
+        add_pair(g, *e)
+    for name in list(g.nodes()):
+        g.node_lengths[name] = (lengths or {}).get(name[:-1], 5000)
+    return g
+
+
+def path_sets(paths):
+    return {tuple(p.nodes) for p in paths}
+
+
+def canonical(paths):
+    """One representative per RC twin pair."""
+    out = set()
+    for p in paths:
+        fwd = tuple(p.nodes)
+        rev = tuple(flip_node(n) for n in reversed(p.nodes))
+        out.add(min(fwd, rev))
+    return out
+
+
+def test_tip_pruned_chain_continues():
+    # A -> B -> C with a spurious dead-end branch B -> T
+    g = build([("A+", "B+", 5), ("B+", "C+", 5), ("B+", "T+", 1)])
+    assert prune_tips(g) == 1
+    paths = assemble_paths(g, min_gap=20)
+    assert canonical(paths) == {("A+", "B+", "C+")}
+
+
+def test_all_tip_fork_keeps_best_supported():
+    g = build([("A+", "B+", 5), ("B+", "T1+", 5), ("B+", "T2+", 1)])
+    prune_tips(g)
+    paths = assemble_paths(g, min_gap=20)
+    assert canonical(paths) == {("A+", "B+", "T1+")}
+
+
+def test_all_tip_fork_tie_is_conservative():
+    g = build([("A+", "B+", 5), ("B+", "T1+", 2), ("B+", "T2+", 2)])
+    assert prune_tips(g) == 0
+    paths = assemble_paths(g, min_gap=20)
+    # B keeps both tips: only A-B links
+    assert canonical(paths) == {("A+", "B+")}
+
+
+def test_weak_edge_dominated_both_ends_removed():
+    # two real chains A->B and C->D plus a weak chimeric link A->D
+    g = build([("A+", "B+", 5), ("C+", "D+", 4), ("A+", "D+", 1)])
+    assert remove_weak_edges(g) == 2  # the edge and its RC twin snapshot
+    paths = assemble_paths(g, min_gap=20)
+    assert canonical(paths) == {("A+", "B+"), ("C+", "D+")}
+
+
+def test_weak_edge_tie_survives():
+    g = build([("A+", "B+", 5), ("C+", "D+", 4), ("A+", "D+", 5)])
+    assert remove_weak_edges(g) == 0
+    # ambiguity remains: no false joins either way
+    paths = assemble_paths(g, min_gap=20)
+    assert canonical(paths) == {("C+", "D+")} or paths == []
+
+
+def test_repeat_vertex_cleared_unblocks_neighbor():
+    # A links to both a repeat R (in 2 / out 2) and its true successor B;
+    # clearing R leaves A -> B unambiguous
+    g = build(
+        [
+            ("A+", "R+", 3),
+            ("X+", "R+", 3),
+            ("R+", "Y+", 3),
+            ("R+", "Z+", 3),
+            ("A+", "B+", 3),
+        ]
+    )
+    cleared = remove_repeats(g)
+    assert cleared == ["R+"]
+    assert g.out_degree("R+") == 0 and g.in_degree("R+") == 0
+    assert g.out_degree("R-") == 0 and g.in_degree("R-") == 0
+    paths = assemble_paths(g, min_gap=20)
+    assert ("A+", "B+") in canonical(paths)
+
+
+def test_rc_symmetry_preserved():
+    g = build(
+        [
+            ("A+", "B+", 5),
+            ("B+", "C+", 5),
+            ("B+", "T+", 1),
+            ("A+", "D-", 1),
+            ("E-", "D-", 4),
+            ("Q+", "R+", 3),
+            ("X+", "R+", 3),
+            ("R+", "Y+", 3),
+            ("R+", "Z+", 3),
+        ]
+    )
+    resolve_ambiguities(g)
+    for u, v, _ in g.edges():
+        assert g.has_edge(flip_node(v), flip_node(u)), (u, v)
+
+
+def test_layout_end_to_end_with_noise_beats_conservative():
+    """Full layout() on a noisy graph: the heuristics recover the 4-contig
+    backbone that unambiguous-chains-only layout would shatter."""
+    edges = [
+        ("A+", "B+", 6),
+        ("B+", "C+", 6),
+        ("C+", "D+", 6),
+        ("B+", "T+", 1),   # tip off the backbone
+        ("E+", "C+", 1),   # weak chimeric link into C (dominated both ends)
+        ("E+", "F+", 4),
+    ]
+    g = build(edges)
+    lengths = {n[:-1]: 5000 for n in g.nodes()}
+    res = layout(g, lengths, min_weight=1, seed_length=100, min_gap=20)
+    joined = canonical(res.paths)
+    assert ("A+", "B+", "C+", "D+") in joined
+    assert ("E+", "F+") in joined
+    # N50 with the backbone joined: 4 contigs in one scaffold
+    ls = sorted(res.scaffold_lengths(lengths), reverse=True)
+    assert ls[0] == 4 * 5000

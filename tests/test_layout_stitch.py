@@ -71,21 +71,29 @@ def test_n_sweep_and_optimal_selection(tmp_path, monkeypatch):
 
 
 def test_sweep_prefers_higher_n_when_it_untangles(tmp_path, monkeypatch):
-    """An ambiguous fork at n=1 blocks the join; n=2 removes the weak edge
-    and the chain forms — the sweep must pick n=2."""
+    """A fork at n=1 that even the ambiguity heuristics cannot resolve
+    (the spur is no tip and no weak edge) blocks the A-join; n=2 drops it
+    by weight and the chain forms — the sweep must pick n=2."""
     monkeypatch.chdir(tmp_path)
+    lengths = {"A": 5000, "B": 6000, "C": 4000, "D": 5000}
     g = chain_graph(
-        [("A+", "B+", 100, 5), ("A+", "C+", 100, 1)], LENGTHS
+        [("A+", "B+", 100, 5), ("A+", "C+", 100, 1), ("C+", "D+", 100, 5)],
+        lengths,
     )
-    files = run_n_sweep(g, LENGTHS, 1, 5, 1000, 20, "pre")
+    files = run_n_sweep(g, lengths, 1, 5, 1000, 20, "pre")
     best = find_optimal_n(files)
     assert best == files[1]  # n=2
     from ntlink_tpu.stitch import stitch
 
     stitch(files, g, "out.path", max_gap=-1, conservative=True)
     with open("out.path") as fh:
-        lines = [l.rstrip("\n").split("\t")[1] for l in fh]
-    assert lines in (["A+ 101N B+"], ["B- 101N A-"])
+        lines = sorted(l.rstrip("\n").split("\t")[1] for l in fh)
+    assert lines in (
+        ["A+ 101N B+", "C+ 101N D+"],
+        ["A+ 101N B+", "D- 101N C-"],
+        ["B- 101N A-", "C+ 101N D+"],
+        ["B- 101N A-", "D- 101N C-"],
+    )
 
 
 def test_non_conservative_stitch_grafts_terminal_edges(tmp_path, monkeypatch):
