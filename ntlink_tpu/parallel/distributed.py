@@ -3,53 +3,158 @@
 Scaling model (see DESIGN.md and the scaling recipe in README):
 
 - every host runs the same pipeline binary; `maybe_init_distributed()`
-  connects them into one JAX process group when the standard env vars are
+  connects them into one process group when the standard env vars are
   present (JAX_COORDINATOR / NTLINK_COORDINATOR, NTLINK_NUM_PROCESSES,
-  NTLINK_PROCESS_ID — or a TPU pod's automatic configuration),
-- the contig index is built once (process 0 semantics are identical on all
-  hosts — the build is deterministic, so every host builds the same
-  replicated table from the same target FASTA),
+  NTLINK_PROCESS_ID — or a TPU pod's automatic configuration). Setting
+  NTLINK_GROUP_DIR instead selects a shared-directory transport (NFS-style
+  deployments / tests) that needs no coordinator service,
+- the contig index is built once per host (the build is deterministic, so
+  every host builds the same replicated table from the same target FASTA),
 - read files are partitioned across hosts round-robin (`shard_read_files`);
   within a host, batches shard across its local devices on the `data` mesh
   axis,
-- each host's pair tally is serialized and all-gathered at the end of
-  mapping (`merge_tallies`): the tally is a per-pair list of gap estimates +
+- each host's pair tally is all-gathered and merged after mapping
+  (`all_gather_tallies`): the tally is a per-pair list of gap estimates +
   anchor counts, which merges associatively; medians are taken after the
-  merge, exactly as the reference computes them over the global dict.
+  merge, exactly as the reference computes them over the global dict,
+- per-host verbose/PAF artifact parts (one per read file) are exchanged and
+  concatenated in global read-file order (`merge_file_parts`), so every
+  host ends up with the reference's canonical single files
+  (ntlink_pair.py:382-388) and gap_fill / rounds / checkpoints work
+  unchanged at n_processes > 1.
 
-The result is bit-identical to a single-host run whenever the read-file
-partition preserves per-file record order (it does: files are whole units),
-because the reference's outputs only depend on per-read results and
-set-like aggregations — with one caveat mirrored from the reference: the
-pairs.tsv/DOT insertion order follows the global merge order, which
-`merge_tallies` fixes to file order.
+The result is bit-identical to a single-host run: per-file artifact parts
+re-interleave into exactly the single-host byte order, and the tally merge
+follows the same global order.
 """
 from __future__ import annotations
 
 import os
 import pickle
-from typing import List, Tuple
+import time
+from typing import Dict, List, Optional, Tuple
 
 from ..pairs import PairEvidence, PairKey, PairTally
 
 
-def maybe_init_distributed() -> Tuple[int, int]:
-    """Initialize jax.distributed from env; returns (process_id, n_processes).
+class Transport:
+    """Collective byte exchange over the process group."""
 
-    No-op single-process when unconfigured.
+    process_id = 0
+    n_processes = 1
+
+    def allgather(self, blob: bytes) -> List[bytes]:
+        raise NotImplementedError
+
+
+class LocalTransport(Transport):
+    def allgather(self, blob: bytes) -> List[bytes]:
+        return [blob]
+
+
+class JaxTransport(Transport):
+    """Rides jax.distributed's coordination service (TPU pods)."""
+
+    def __init__(self, process_id: int, n_processes: int):
+        self.process_id = process_id
+        self.n_processes = n_processes
+
+    def allgather(self, blob: bytes) -> List[bytes]:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        lengths = multihost_utils.process_allgather(
+            np.array([len(blob)], dtype=np.int64)
+        )
+        lengths = lengths.reshape(-1)
+        max_len = max(int(lengths.max()), 1)
+        padded = np.frombuffer(blob.ljust(max_len, b"\0"), dtype=np.uint8)
+        gathered = multihost_utils.process_allgather(padded)
+        return [
+            gathered[i, : int(lengths[i])].tobytes()
+            for i in range(gathered.shape[0])
+        ]
+
+
+class DirTransport(Transport):
+    """Shared-directory collective (NFS deployments, multi-process tests).
+
+    Each call writes `<dir>/<seq>.<rank>` atomically (tmp + rename) and
+    waits for all ranks' files; a per-instance sequence number keeps
+    successive collectives from colliding (all ranks issue collectives in
+    the same program order).
     """
+
+    def __init__(self, path: str, process_id: int, n_processes: int,
+                 timeout: float = 300.0):
+        self.dir = path
+        self.process_id = process_id
+        self.n_processes = n_processes
+        self.timeout = timeout
+        self._seq = 0
+        os.makedirs(path, exist_ok=True)
+
+    def allgather(self, blob: bytes) -> List[bytes]:
+        seq = self._seq
+        self._seq += 1
+        mine = os.path.join(self.dir, f"{seq}.{self.process_id}")
+        tmp = mine + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, mine)
+        parts = []
+        deadline = time.time() + self.timeout
+        for rank in range(self.n_processes):
+            path = os.path.join(self.dir, f"{seq}.{rank}")
+            while not os.path.exists(path):
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"rank {rank} never produced {path}"
+                    )
+                time.sleep(0.02)
+            with open(path, "rb") as fh:
+                parts.append(fh.read())
+        return parts
+
+
+_TRANSPORT: Optional[Transport] = None
+
+
+def get_transport() -> Transport:
+    global _TRANSPORT
+    if _TRANSPORT is None:
+        maybe_init_distributed()
+    return _TRANSPORT
+
+
+def maybe_init_distributed() -> Tuple[int, int]:
+    """Initialize the process group from env; returns (pid, n_processes).
+
+    No-op single-process when unconfigured. NTLINK_GROUP_DIR selects the
+    shared-directory transport; otherwise a coordinator address selects
+    jax.distributed.
+    """
+    global _TRANSPORT
+    if _TRANSPORT is not None:
+        return _TRANSPORT.process_id, _TRANSPORT.n_processes
+    n = int(os.environ.get("NTLINK_NUM_PROCESSES", "0") or 0)
+    pid = int(os.environ.get("NTLINK_PROCESS_ID", "0") or 0)
+    group_dir = os.environ.get("NTLINK_GROUP_DIR")
     coord = os.environ.get("NTLINK_COORDINATOR") or os.environ.get(
         "JAX_COORDINATOR"
     )
-    n = int(os.environ.get("NTLINK_NUM_PROCESSES", "0") or 0)
-    pid = int(os.environ.get("NTLINK_PROCESS_ID", "0") or 0)
+    if group_dir and n > 1:
+        _TRANSPORT = DirTransport(group_dir, pid, n)
+        return pid, n
     if coord and n > 1:
         import jax
 
         jax.distributed.initialize(
             coordinator_address=coord, num_processes=n, process_id=pid
         )
+        _TRANSPORT = JaxTransport(pid, n)
         return pid, n
+    _TRANSPORT = LocalTransport()
     return 0, 1
 
 
@@ -91,31 +196,70 @@ def merge_tallies(
 
 
 def all_gather_tallies(tally: PairTally) -> PairTally:
-    """All-gather the per-host tallies over the process group.
-
-    Uses jax's multihost byte-string gather when distributed; identity when
-    single-process.
-    """
-    import jax
-
-    if jax.process_count() == 1:
+    """All-gather the per-host tallies over the process group."""
+    transport = get_transport()
+    if transport.n_processes == 1:
         return tally
-    from jax.experimental import multihost_utils
-
-    import numpy as np
-
-    blob = serialize_tally(tally)
-    # length-prefix + pad to the global max so gather shapes agree
-    lengths = multihost_utils.process_allgather(
-        np.array([len(blob)], dtype=np.int64)
-    )
-    max_len = int(lengths.max())
-    padded = np.frombuffer(blob.ljust(max_len, b"\0"), dtype=np.uint8)
-    gathered = multihost_utils.process_allgather(padded)
-    parts = [
-        gathered[i, : int(lengths[i][0] if lengths.ndim > 1 else lengths[i])]
-        .tobytes()
-        for i in range(gathered.shape[0])
-    ]
+    parts = transport.allgather(serialize_tally(tally))
     merged = PairTally(tally.contig_lengths, tally.k, tally.f_cap)
     return merge_tallies(merged, parts)
+
+
+def all_gather_file_tallies(
+    per_file: Dict[int, PairTally], template: PairTally
+) -> PairTally:
+    """All-gather per-read-file tallies and merge them in global file order.
+
+    Merging file-by-file (not host-by-host) reproduces the single-host
+    insertion and gap-list order exactly, so pairs.tsv / DOT / medians are
+    byte-identical to an unsharded run.
+    """
+    transport = get_transport()
+    payload = {fi: serialize_tally(t) for fi, t in per_file.items()}
+    if transport.n_processes > 1:
+        merged_blobs: Dict[int, bytes] = {}
+        for blob in transport.allgather(pickle.dumps(payload)):
+            merged_blobs.update(pickle.loads(blob))
+    else:
+        merged_blobs = payload
+    merged = PairTally(template.contig_lengths, template.k, template.f_cap)
+    return merge_tallies(
+        merged, [merged_blobs[fi] for fi in sorted(merged_blobs)]
+    )
+
+
+def merge_file_parts(final_path: str, my_parts: Dict[int, str]) -> None:
+    """Exchange per-read-file artifact parts and write the canonical file.
+
+    `my_parts` maps global read-file index -> local part path for the files
+    this host mapped. All hosts receive every part and concatenate them in
+    file-index order, reproducing the single-host byte order exactly
+    (reference contract: one verbose file, ntlink_pair.py:382-388). Each
+    host writes the result atomically to its local filesystem (identical
+    content everywhere, so shared-FS double writes are benign); local part
+    files are removed.
+
+    Production note: parts travel over the group transport — for huge
+    verbose checkpoints on TPU pods prefer a shared filesystem
+    (NTLINK_GROUP_DIR), where the exchange is just renames.
+    """
+    transport = get_transport()
+    payload = {}
+    for idx, path in my_parts.items():
+        with open(path, "rb") as fh:
+            payload[idx] = fh.read()
+    if transport.n_processes > 1:
+        gathered = transport.allgather(pickle.dumps(payload))
+        merged: Dict[int, bytes] = {}
+        for blob in gathered:
+            merged.update(pickle.loads(blob))
+    else:
+        merged = payload
+    tmp = final_path + ".tmp"
+    with open(tmp, "wb") as fh:
+        for idx in sorted(merged):
+            fh.write(merged[idx])
+    os.replace(tmp, final_path)
+    for path in my_parts.values():
+        if os.path.exists(path):
+            os.unlink(path)

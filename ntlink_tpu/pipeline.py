@@ -252,6 +252,8 @@ def map_reads(
     contig_lengths: Dict[str, int],
     verbose_path: Optional[str],
     paf_path: Optional[str],
+    tally: Optional[PairTally] = None,
+    mapper=None,
 ) -> PairTally:
     """Stream read files through sketch → match → chain → tally.
 
@@ -259,12 +261,16 @@ def map_reads(
     available (device_map.DeviceMapper), with chaining + verbose rendering in
     native C; PAF/repeat modes and the NumPy backend take the general object
     path. All paths preserve the reference's exact order-sensitive semantics.
+    Pass `tally`/`mapper` to accumulate across calls (per-file multi-host
+    sharding) without rebuilding the device index.
     """
-    tally = PairTally(contig_lengths, cfg.k, cfg.f)
+    if tally is None:
+        tally = PairTally(contig_lengths, cfg.k, cfg.f)
     verbose_fh = open(verbose_path, "wb") if verbose_path else None
     paf_fh = open(paf_path, "w") if paf_path else None
 
-    mapper = _make_device_mapper(cfg, index)
+    if mapper is None:
+        mapper = _make_device_mapper(cfg, index)
     chainer = None
     if mapper is not None and not cfg.paf and not cfg.repeats:
         chainer = _make_native_chainer(mapper, contig_lengths)
@@ -311,44 +317,71 @@ def pair_stage(cfg: ScaffoldConfig) -> str:
     contig_lengths = read_scaffold_lengths(cfg.target)
 
     explicit = cfg.checkpoint
-    if explicit or (os.path.exists(checkpoint) and _is_fresh(checkpoint, cfg.target)):
+    if explicit or (
+        os.path.exists(checkpoint)
+        and _is_fresh(checkpoint, cfg.target, *cfg.reads)
+    ):
         ckpt = explicit or checkpoint
         log("Found mapping checkpoint", ckpt, "- bypassing read mapping")
         with tracer.stage("pair/checkpoint-tally"):
             tally = tally_from_checkpoint(ckpt, contig_lengths, cfg.k, cfg.f)
     else:
         from .parallel.distributed import (
-            all_gather_tallies,
+            all_gather_file_tallies,
             maybe_init_distributed,
-            shard_read_files,
+            merge_file_parts,
         )
 
         process_id, n_processes = maybe_init_distributed()
-        map_cfg = cfg
-        if n_processes > 1:
-            import dataclasses
-
-            map_cfg = dataclasses.replace(
-                cfg, reads=shard_read_files(cfg.reads, process_id, n_processes)
-            )
-            log(f"Host {process_id}/{n_processes} mapping", map_cfg.reads)
         with tracer.stage("pair/contig-sketch"):
             tsv = ensure_contig_sketch_tsv(cfg, cfg.k, cfg.w)
             log("Loading contig index", tsv)
             index = ContigIndex.from_tsv(tsv)
             log("Index size:", len(index))
-        part = f".part{process_id}" if n_processes > 1 else ""
-        with tracer.stage("pair/map-reads"):
-            tally = map_reads(
-                map_cfg,
-                index,
-                contig_lengths,
-                verbose_path=(checkpoint + part) if cfg.verbose else None,
-                paf_path=f"{prefix}.paf{part}" if cfg.paf else None,
-            )
         if n_processes > 1:
+            # per-read-file sharding: each host maps its files into
+            # per-file tallies and artifact parts, then everything merges
+            # in global file order — byte-identical to a single-host run
+            # (reference contract: one verbose/paf file,
+            # ntlink_pair.py:382-388)
+            import dataclasses
+
+            mapper = _make_device_mapper(cfg, index)
+            per_file_tallies: Dict[int, PairTally] = {}
+            verbose_parts: Dict[int, str] = {}
+            paf_parts: Dict[int, str] = {}
+            with tracer.stage("pair/map-reads"):
+                for fi, reads_file in enumerate(cfg.reads):
+                    if fi % n_processes != process_id:
+                        continue
+                    log(f"Host {process_id}/{n_processes} mapping", reads_file)
+                    sub = dataclasses.replace(cfg, reads=[reads_file])
+                    vp = f"{checkpoint}.part{fi}" if cfg.verbose else None
+                    pp = f"{prefix}.paf.part{fi}" if cfg.paf else None
+                    per_file_tallies[fi] = map_reads(
+                        sub, index, contig_lengths, vp, pp, mapper=mapper
+                    )
+                    if vp:
+                        verbose_parts[fi] = vp
+                    if pp:
+                        paf_parts[fi] = pp
             with tracer.stage("pair/tally-allgather"):
-                tally = all_gather_tallies(tally)
+                tally = all_gather_file_tallies(
+                    per_file_tallies, PairTally(contig_lengths, cfg.k, cfg.f)
+                )
+                if cfg.verbose:
+                    merge_file_parts(checkpoint, verbose_parts)
+                if cfg.paf:
+                    merge_file_parts(f"{prefix}.paf", paf_parts)
+        else:
+            with tracer.stage("pair/map-reads"):
+                tally = map_reads(
+                    cfg,
+                    index,
+                    contig_lengths,
+                    verbose_path=checkpoint if cfg.verbose else None,
+                    paf_path=f"{prefix}.paf" if cfg.paf else None,
+                )
 
     with tracer.stage("pair/graph-build"):
         tally.filter_distances()
