@@ -49,6 +49,7 @@ _BOOL_KEYS = {
 _INT_KEYS = {
     "k", "w", "t", "z", "n", "max_n", "g", "G", "merge_gap", "a", "f",
     "small_k", "small_w", "gap_k", "gap_w", "rounds", "batch_bases", "v",
+    "idx_shards",
 }
 _FLOAT_KEYS = {"x"}
 
@@ -162,7 +163,7 @@ def main(argv: List[str] | None = None) -> int:
     for field in (
         "target", "reads", "k", "w", "t", "z", "n", "max_n", "g", "G",
         "merge_gap", "a", "f", "x", "overlap", "conservative", "sensitive",
-        "repeats", "soft_mask", "paf", "backend",
+        "repeats", "soft_mask", "paf", "backend", "index_sharding",
     ):
         print(f"\t{field}={getattr(cfg, field)}")
     print(f"\tprefix={cfg.resolved_prefix()}")

@@ -52,6 +52,8 @@ class ScaffoldConfig:
     # engine knobs (no reference analogue)
     backend: str = "auto"          # "auto" | "jax" | "numpy"
     batch_bases: int = 8_000_000   # device batch budget in bases
+    index_sharding: str = "replicated"  # "replicated" | "hash" (2-D mesh)
+    idx_shards: int = 0            # hash-sharded table shards (0 = auto)
 
     def resolved_prefix(self) -> str:
         if self.prefix:

@@ -61,7 +61,8 @@ class DeviceMapper:
 
     def __init__(self, index: ContigIndex, k: int, w: int,
                  batch_bases: int = 8_000_000, use_mesh: bool = True,
-                 with_hashes: bool = True):
+                 with_hashes: bool = True, index_sharding: str = "replicated",
+                 idx_shards: int = 0):
         from .jax_setup import configure
 
         configure()
@@ -75,9 +76,29 @@ class DeviceMapper:
         index.finalize()
         self.contig_names: List[str] = index.contig_names
         self._contig_order = {n: i for i, n in enumerate(index.contig_names)}
-        self.didx = DeviceIndex.from_contig_index(index)
         self.n_devices = len(jax.devices()) if use_mesh else 1
+        if index_sharding == "hash" and self.n_devices == 1:
+            index_sharding = "replicated"  # nothing to shard over
+        if index_sharding == "hash" and with_hashes:
+            raise ValueError(
+                "index_sharding=hash does not support the repeat filter "
+                "(matched-hash readback); use the replicated index"
+            )
+        self.index_sharding = index_sharding
         self.with_hashes = with_hashes
+        if index_sharding == "hash":
+            from .parallel.sharded_index import (
+                ShardedDeviceIndex,
+                make_mesh_2d,
+            )
+
+            self.idx_shards = idx_shards or min(4, self.n_devices)
+            self.didx = ShardedDeviceIndex.from_contig_index(
+                index, self.idx_shards
+            )
+            self._mesh2d = make_mesh_2d(self.idx_shards)
+        else:
+            self.didx = DeviceIndex.from_contig_index(index)
         self._steps: Dict[Tuple[int, int], object] = {}
         # observed-anchor-volume cap per pad bucket (process-wide so warmup
         # teaches later mapper instances); see drain()
@@ -93,7 +114,13 @@ class DeviceMapper:
             return self._steps[key]
         from .parallel.mesh import make_mesh, make_sharded_mapping_step
 
-        if self.n_devices > 1:
+        if self.index_sharding == "hash":
+            from .parallel.sharded_index import make_sharded_index_mapping_step
+
+            step = make_sharded_index_mapping_step(
+                self._mesh2d, self.didx, self.k, self.w, L, key[1]
+            )
+        elif self.n_devices > 1:
             step = make_sharded_mapping_step(
                 make_mesh(), self.k, self.w, L, self.didx.mask,
                 self.didx.max_probes, key[1], with_hashes=self.with_hashes,

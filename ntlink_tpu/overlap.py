@@ -363,26 +363,34 @@ def overlap_stage(
     prefix = cfg.resolved_prefix()
     graph = read_dot(dot_path)
 
-    sequences: Dict[str, str] = {}
+    # streaming contract (reference bin/ntlink_filter_sequences.py:17-42):
+    # the stage never holds the whole assembly — pass 1 records lengths,
+    # pass 2 sketches only the contigs with overlap regions, pass 3 writes
+    # the trimmed FASTA record by record. Peak RSS is O(largest contig),
+    # independent of assembly size.
     trims: Dict[str, TrimState] = {}
+    lengths: Dict[str, int] = {}
     for rec in stream_fastx(cfg.target):
-        sequences[rec.name] = rec.seq
+        lengths[rec.name] = len(rec.seq)
         trims[rec.name] = TrimState(rec.name, len(rec.seq))
-    lengths = {name: len(seq) for name, seq in sequences.items()}
 
     regions = find_valid_regions(
         stitch_path_file, graph, lengths, cfg.g, cfg.small_k
     )
 
-    # per-contig region-restricted sketches (k=small_k, w=small_w)
+    # per-contig region-restricted sketches (k=small_k, w=small_w) — only
+    # for contigs flanking a trimmable gap
     mx_info: Dict[str, Dict[str, int]] = {}
     mx_lists: Dict[str, List[str]] = {}
-    for name, reg in regions.items():
+    for rec in stream_fastx(cfg.target):
+        reg = regions.get(rec.name)
+        if reg is None:
+            continue
         info, ordered = region_minimizers(
-            sequences[name], reg, cfg.small_k, cfg.small_w
+            rec.seq, reg, cfg.small_k, cfg.small_w
         )
-        mx_info[name] = info
-        mx_lists[name] = ordered
+        mx_info[rec.name] = info
+        mx_lists[rec.name] = ordered
 
     outgap = cfg.merge_gap + 1  # abyss-scaffold +1 path-file convention
 
@@ -420,7 +428,8 @@ def overlap_stage(
 
     trimmed_fa = f"{prefix}.trimmed_scafs.fa"
     with open(trimmed_fa, "w") as fh:
-        for name, seq in sequences.items():
+        for rec in stream_fastx(cfg.target):
+            name, seq = rec.name, rec.seq
             state = trims[name]
             if state.omitted:
                 continue

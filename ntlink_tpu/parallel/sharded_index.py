@@ -5,32 +5,40 @@ a human assembly at w=100 — see DESIGN.md sizing). For indexes that outgrow
 one chip's HBM (pangenomes, very small w), this variant shards the table by
 a hash bucket over the ``idx`` mesh axis:
 
-- host build partitions entries by the top bits of the Fibonacci slot hash
+- the build partitions entries by the top bits of the Fibonacci slot hash
   (uniform by construction) into `n_shards` independent open-addressing
-  sub-tables,
+  sub-tables, inserted with the same vectorized contended-claim rounds as
+  the replicated builder (mesh.DeviceIndex) — all shards at once on a flat
+  (n_shards * size) table,
 - the join runs under shard_map on a 2-D mesh: batch rows shard over
   ``data``, each ``idx`` rank probes its local sub-table with the full query
   set of its data row-block, and per-query results combine with a
   ``psum`` over ``idx`` (each query hits exactly one shard, so the sum is
   the unique answer),
-- the sketch is computed once per data shard (on idx rank 0's input; inputs
-  along ``idx`` are replicated by sharding, XLA broadcasts them).
+- the surrounding jit applies the engine's standard output contract
+  (global anchor compaction into `meta` + `flat`, parallel.mesh), so
+  DeviceMapper drains both index layouts identically
+  (`DeviceMapper(index_sharding="hash")` / CLI `index_sharding=hash`).
 
 The reduction rides ICI on a real pod slice; tests run it on the virtual
-CPU mesh.
+CPU mesh and assert bit-equality with the replicated path.
 """
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
-from .mesh import _FIB
+try:
+    from jax import shard_map
+    _CHECK_KW = {"check_vma": False}
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+    _CHECK_KW = {"check_rep": False}
+
+from .mesh import _FIB, unpack_codes
 from ..ops.sketch_jax import sketch_batch_kernel
 
 
@@ -41,14 +49,14 @@ class ShardedDeviceIndex:
                  positions: np.ndarray, strands: np.ndarray, n_shards: int):
         assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
         self.n_shards = n_shards
+        n = int(hashes.shape[0])
         hi = (hashes >> np.uint64(32)).astype(np.uint32)
         lo = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         slot_hash = ((lo ^ hi) * np.uint32(_FIB)).astype(np.uint32)
-        shard_shift = np.uint32(32 - int(np.log2(n_shards))) if n_shards > 1 else None
         shard = (
-            (slot_hash >> shard_shift).astype(np.int64)
+            (slot_hash >> np.uint32(32 - int(np.log2(n_shards)))).astype(np.int64)
             if n_shards > 1
-            else np.zeros(hashes.shape[0], np.int64)
+            else np.zeros(n, np.int64)
         )
 
         counts = np.bincount(shard, minlength=n_shards)
@@ -58,40 +66,43 @@ class ShardedDeviceIndex:
         self.size = size
         self.mask = size - 1
 
-        t_hi = np.zeros((n_shards, size), np.uint32)
-        t_lo = np.zeros((n_shards, size), np.uint32)
-        t_cid = np.full((n_shards, size), -1, np.int32)
-        t_pos = np.zeros((n_shards, size), np.int32)
-        t_strand = np.zeros((n_shards, size), bool)
+        flat = n_shards * size
+        t_hi = np.zeros(flat, np.uint32)
+        t_lo = np.zeros(flat, np.uint32)
+        t_cid = np.full(flat, -1, np.int32)
+        t_pos = np.zeros(flat, np.int32)
+        t_strand = np.zeros(flat, bool)
 
-        max_probes = 1
-        for s in range(n_shards):
-            sel = shard == s
-            sh, sl = hi[sel], lo[sel]
-            scid, spos, sstr = contig_ids[sel], positions[sel], strands[sel]
-            slots = (
-                ((sl ^ sh) * np.uint32(_FIB)).astype(np.uint32)
-                & np.uint32(self.mask)
-            ).astype(np.int64)
-            occupied = t_cid[s]
-            for i in range(sh.shape[0]):
-                p = int(slots[i])
-                probes = 1
-                while occupied[p] != -1:
-                    p = (p + 1) & self.mask
-                    probes += 1
-                t_hi[s, p] = sh[i]
-                t_lo[s, p] = sl[i]
-                t_cid[s, p] = scid[i]
-                t_pos[s, p] = spos[i]
-                t_strand[s, p] = sstr[i]
-                max_probes = max(max_probes, probes)
-        self.max_probes = (max_probes + 3) & ~3
-        self.t_hi = t_hi
-        self.t_lo = t_lo
-        self.t_cid = t_cid
-        self.t_pos = t_pos
-        self.t_strand = t_strand
+        # vectorized insertion (mesh.DeviceIndex scheme): every pending
+        # entry claims its slot, one winner per slot per round, losers
+        # advance one local slot (wrapping within their shard's span)
+        local = (slot_hash & np.uint32(self.mask)).astype(np.int64)
+        base = shard * size
+        pending = np.arange(n)
+        claim = np.full(flat, -1, np.int64)
+        rounds = 0
+        while pending.size:
+            rounds += 1
+            want = base[pending] + local[pending]
+            free = t_cid[want] == -1
+            claim[want[free]] = pending[free]  # last writer wins; rest retry
+            won = claim[want] == pending
+            winners = pending[won]
+            w_slots = base[winners] + local[winners]
+            t_hi[w_slots] = hi[winners]
+            t_lo[w_slots] = lo[winners]
+            t_cid[w_slots] = contig_ids[winners]
+            t_pos[w_slots] = positions[winners]
+            t_strand[w_slots] = strands[winners]
+            pending = pending[~won]
+            local[pending] = (local[pending] + 1) & self.mask
+        self.max_probes = (max(rounds, 1) + 3) & ~3
+        shape = (n_shards, size)
+        self.t_hi = t_hi.reshape(shape)
+        self.t_lo = t_lo.reshape(shape)
+        self.t_cid = t_cid.reshape(shape)
+        self.t_pos = t_pos.reshape(shape)
+        self.t_strand = t_strand.reshape(shape)
 
     @classmethod
     def from_contig_index(cls, index, n_shards: int) -> "ShardedDeviceIndex":
@@ -102,12 +113,26 @@ class ShardedDeviceIndex:
         )
 
 
-def make_sharded_index_join(mesh: Mesh, sidx: ShardedDeviceIndex,
-                            k: int, w: int, max_anchors: int):
-    """jitted sketch+join with the table sharded over the ``idx`` axis.
+def make_mesh_2d(idx_shards: int, n_devices: int = None) -> Mesh:
+    """2-D (data, idx) mesh over the local devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % idx_shards == 0, (n, idx_shards)
+    return Mesh(
+        np.array(devices).reshape(n // idx_shards, idx_shards),
+        ("data", "idx"),
+    )
 
-    Returns fn(codes (B, L) uint8, lengths (B,)) -> per-read compacted
-    anchors (count, read_pos, cid, cpos, strand_bits).
+
+def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
+                  max_anchors: int):
+    """shard_map'd sketch + local-probe + psum join over the 2-D mesh.
+
+    Returns fn(codes, lengths, *tables) -> per-row (count, n_minimizers,
+    rpos_packed, cid, cpos, found), each (B, S) with strand bits packed in
+    rpos_packed bits 29/30 (the engine's standard anchor word).
     """
     n_shards = sidx.n_shards
     mask = sidx.mask
@@ -166,42 +191,93 @@ def make_sharded_index_join(mesh: Mesh, sidx: ShardedDeviceIndex,
         found_any = jax.lax.psum(found.astype(jnp.int32), "idx") > 0
         cid_g = jax.lax.psum(jnp.where(found, cid, 0), "idx")
         cpos_g = jax.lax.psum(jnp.where(found, cpos, 0), "idx")
-        cstr_g = jax.lax.psum(jnp.where(found, cstrand.astype(jnp.int32), 0), "idx")
-        count = found_any.sum(axis=1).astype(jnp.int32)
-        strand_bits = cstr_g | (m_fwd.astype(jnp.int32) << 1)
-        # compact matches to the front, order preserved
-        order = jnp.argsort(~found_any, axis=1, stable=True)
-        take = lambda a: jnp.take_along_axis(a, order, axis=1)
-        found_c = take(found_any)
-        anchors = jnp.stack(
-            [
-                jnp.where(found_c, take(m_pos), -1),
-                jnp.where(found_c, take(cid_g), -1),
-                jnp.where(found_c, take(cpos_g), -1),
-                jnp.where(found_c, take(strand_bits), 0),
-            ],
-            axis=1,
+        cstr_g = jax.lax.psum(
+            jnp.where(found, cstrand.astype(jnp.int32), 0), "idx"
         )
-        return count, anchors
+        rpos_packed = m_pos | (cstr_g << 29) | (m_fwd.astype(jnp.int32) << 30)
+        count = found_any.sum(axis=1).astype(jnp.int32)
+        n_minimizers = emit.sum(axis=1).astype(jnp.int32)
+        return count, n_minimizers, rpos_packed, cid_g, cpos_g, found_any
 
     data_spec = P("data", None)
     table_spec = P("idx", None)
-
-    sharded = shard_map(
+    return shard_map(
         step,
         mesh=mesh,
         in_specs=(
             data_spec, P("data"),
             table_spec, table_spec, table_spec, table_spec, table_spec,
         ),
-        out_specs=(P("data"), P("data", None, None)),
-        check_rep=False,
+        out_specs=(
+            P("data"), P("data"), data_spec, data_spec, data_spec, data_spec,
+        ),
+        **_CHECK_KW,
     )
-    jitted = jax.jit(sharded)
+
+
+def make_sharded_index_mapping_step(mesh: Mesh, sidx: ShardedDeviceIndex,
+                                    k: int, w: int, L: int,
+                                    max_anchors: int):
+    """Full mapping step over the hash-sharded index — packed input and the
+    engine's standard {meta, flat} output contract (parallel.mesh), so
+    DeviceMapper drains it exactly like the replicated path."""
+    join = _sharded_join(mesh, sidx, k, w, max_anchors)
+
+    @jax.jit
+    def full_step(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand):
+        codes = unpack_codes(packed, L)
+        count, n_mins, rpos_packed, cid, cpos, found = join(
+            codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand
+        )
+        order_flat = jnp.argsort(~found.reshape(-1), stable=True)
+        takef = lambda a: a.reshape(-1)[order_flat]
+        flat = jnp.stack([takef(rpos_packed), takef(cid), takef(cpos)], axis=0)
+        return {
+            "meta": jnp.concatenate([count, n_mins]),
+            "flat": flat,
+            "n_anchors": found.sum(),
+        }
 
     t_args = tuple(
         jnp.asarray(a)
         for a in (sidx.t_hi, sidx.t_lo, sidx.t_cid, sidx.t_pos,
                   sidx.t_strand.astype(np.bool_))
     )
-    return lambda codes, lengths: jitted(codes, lengths, *t_args)
+    return lambda packed, lengths, didx=None: full_step(
+        packed, lengths, *t_args
+    )
+
+
+def make_sharded_index_join(mesh: Mesh, sidx: ShardedDeviceIndex,
+                            k: int, w: int, max_anchors: int):
+    """Compatibility wrapper over unpacked codes: per-read compacted
+    rectangular anchors (count, anchors[pos, cid, cpos, strand_bits])."""
+    join = _sharded_join(mesh, sidx, k, w, max_anchors)
+
+    @jax.jit
+    def step(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand):
+        count, _, rpos_packed, cid, cpos, found = join(
+            codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand
+        )
+        order = jnp.argsort(~found, axis=1, stable=True)
+        take = lambda a: jnp.take_along_axis(a, order, axis=1)
+        found_c = take(found)
+        m_pos = take(rpos_packed) & 0x1FFFFFFF
+        strand_bits = (take(rpos_packed) >> 29) & 3
+        anchors = jnp.stack(
+            [
+                jnp.where(found_c, m_pos, -1),
+                jnp.where(found_c, take(cid), -1),
+                jnp.where(found_c, take(cpos), -1),
+                jnp.where(found_c, strand_bits, 0),
+            ],
+            axis=1,
+        )
+        return count, anchors
+
+    t_args = tuple(
+        jnp.asarray(a)
+        for a in (sidx.t_hi, sidx.t_lo, sidx.t_cid, sidx.t_pos,
+                  sidx.t_strand.astype(np.bool_))
+    )
+    return lambda codes, lengths: step(codes, lengths, *t_args)

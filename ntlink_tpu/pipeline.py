@@ -88,7 +88,8 @@ def _make_device_mapper(cfg: ScaffoldConfig, index: ContigIndex):
 
         return DeviceMapper(
             index, cfg.k, cfg.w, batch_bases=cfg.batch_bases,
-            with_hashes=cfg.repeats,
+            with_hashes=cfg.repeats, index_sharding=cfg.index_sharding,
+            idx_shards=cfg.idx_shards,
         )
     except Exception as exc:  # pragma: no cover - no jax available
         if cfg.backend == "jax":

@@ -73,3 +73,50 @@ def test_overlap_noop_goldens(tmp_path, monkeypatch, target, reads, k, w):
     cfg, final = run_case(tmp_path, monkeypatch, target, reads, k, w, 0)
     prefix = cfg.resolved_prefix()
     assert_artifacts(prefix, os.path.join(GOLDEN_DIR, prefix), final)
+
+
+def test_overlap_stage_memory_is_bounded(tmp_path, monkeypatch):
+    """overlap_stage streams the assembly (ntlink_filter_sequences'
+    purpose): peak allocations scale with the largest contig, not the
+    assembly — doubling the contig count leaves the peak flat."""
+    import tracemalloc
+
+    import numpy as np
+
+    from ntlink_tpu.config import ScaffoldConfig
+    from ntlink_tpu.graphio import EdgeAttr, ScaffoldGraph, write_dot
+    from ntlink_tpu.overlap import overlap_stage
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(5)
+    bases = np.array(list("ACGT"))
+    clen = 120_000
+
+    def run(n_contigs):
+        d = tmp_path / f"n{n_contigs}"
+        d.mkdir()
+        monkeypatch.chdir(d)
+        with open("target.fa", "w") as fh:
+            for i in range(n_contigs):
+                fh.write(
+                    f">c{i}\n{''.join(bases[rng.integers(0, 4, clen)])}\n"
+                )
+        g = ScaffoldGraph()
+        for i in range(n_contigs):
+            g.add_node(f"c{i}+", clen)
+            g.add_node(f"c{i}-", clen)
+        g.add_edge("c0+", "c1+", EdgeAttr(d=-40, n=5))
+        g.add_edge("c1-", "c0-", EdgeAttr(d=-40, n=5))
+        write_dot(g, "graph.dot", None)
+        with open("stitch.path", "w") as fh:
+            fh.write("ntLink_0\tc0+ 1N c1+\n")
+        cfg = ScaffoldConfig(target="target.fa", reads=["r.fa"], k=32, w=100)
+        tracemalloc.start()
+        overlap_stage(cfg, "graph.dot", "stitch.path")
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return peak
+
+    small = run(4)
+    big = run(32)  # 8x the assembly, same largest contig
+    assert big < 1.5 * small, (small, big)

@@ -61,3 +61,51 @@ def test_sharded_join_matches_replicated_lookup():
             mins.forward[found].astype(np.int32) << 1
         )
         assert np.array_equal(got[3, :n], exp_bits), f"row {r} strands"
+
+
+def test_pair_stage_hash_sharded_matches_replicated(tmp_path, monkeypatch):
+    """Full pair stage with index_sharding=hash on the 2-D virtual mesh ==
+    the replicated-index outputs bit for bit."""
+    import filecmp
+    import os
+    import shutil
+
+    from conftest import REF_TESTS_DIR
+    from ntlink_tpu.config import ScaffoldConfig
+    from ntlink_tpu.pipeline import pair_stage
+
+    outputs = {}
+    for sharding in ("replicated", "hash"):
+        d = tmp_path / sharding
+        os.makedirs(d)
+        for f in ("scaffolds_1.fa", "long_reads_1.fa"):
+            shutil.copy(os.path.join(REF_TESTS_DIR, f), d)
+        monkeypatch.chdir(d)
+        cfg = ScaffoldConfig(
+            target="scaffolds_1.fa", reads=["long_reads_1.fa"], k=32, w=250,
+            z=1000, pairs_tsv=True, backend="jax", batch_bases=2_000_000,
+            index_sharding=sharding, idx_shards=4,
+        )
+        pair_stage(cfg)
+        outputs[sharding] = d
+
+    prefix = "scaffolds_1.fa.k32.w250.z1000"
+    for artifact in (
+        f"{prefix}.verbose_mapping.tsv",
+        f"{prefix}.pairs.tsv",
+        f"{prefix}.n1.scaffold.dot",
+    ):
+        assert filecmp.cmp(
+            outputs["replicated"] / artifact,
+            outputs["hash"] / artifact,
+            shallow=False,
+        ), artifact
+
+
+def test_dryrun_sharded_index():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    __graft_entry__.dryrun_sharded_index(8)
