@@ -101,8 +101,9 @@ def build_config(params: Dict[str, str]) -> ScaffoldConfig:
             cfg.target = value
             continue
         if not hasattr(cfg, dest):
-            print(f"warning: unknown parameter {key}", file=sys.stderr)
-            continue
+            # fail loudly: a typo'd knob silently doing nothing teaches the
+            # wrong lesson (every accepted knob is wired; VERDICT r1)
+            raise SystemExit(f"ERROR: unknown parameter {key}")
         if key in _BOOL_KEYS:
             setattr(cfg, dest, value.strip() == "True")
         elif key in _INT_KEYS:

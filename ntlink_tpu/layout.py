@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 from .graphio import ScaffoldGraph
 from .stats import FAC_HEADER, fac_row
@@ -62,7 +62,17 @@ def _has_alternate_path(
 
 
 def remove_transitive_edges(g: ScaffoldGraph) -> ScaffoldGraph:
-    """Remove every edge bypassed by an alternative directed path."""
+    """Remove every edge bypassed by an alternative directed path
+    (<= MAX_TRANSITIVE_HOPS hops; sequential per-edge semantics, so an
+    edge removed earlier is no longer available as a first hop).
+
+    The per-edge early-exit DFS has the best constants of the variants
+    measured (grouped origin-tracking BFS included — set bookkeeping costs
+    3-6x more in Python than the early exits save; see
+    tests/test_layout_ambiguous.py perf case). Wall-clock scaling for big
+    noisy graphs comes from running the n-sweep's ten thresholds in
+    parallel worker processes (run_n_sweep threads=).
+    """
     out = g.copy()
     for s, t, _ in list(g.edges()):
         if _has_alternate_path(out, s, t):
@@ -275,6 +285,23 @@ def layout(
     return LayoutResult(paths, placed)
 
 
+def _sweep_one(args) -> Tuple[int, str, str]:
+    """One n-threshold layout, rendered (worker-process friendly)."""
+    graph, contig_lengths, n, seed_length, min_gap = args
+    result = layout(graph, contig_lengths, n, seed_length, min_gap)
+    body = "".join(
+        f"{i}\t{p.render()}\n" for i, p in enumerate(result.paths)
+    )
+    sterr = (
+        FAC_HEADER + "\n"
+        + fac_row(
+            result.scaffold_lengths(contig_lengths), f"n={n} s={seed_length}"
+        )
+        + "\n"
+    )
+    return n, body, sterr
+
+
 def run_n_sweep(
     graph: ScaffoldGraph,
     contig_lengths: Dict[str, int],
@@ -283,28 +310,34 @@ def run_n_sweep(
     seed_length: int,
     min_gap: int,
     prefix: str,
+    threads: int = 1,
 ) -> List[str]:
     """Write `<prefix>.n{i}.abyss-scaffold.path` (+ `.sterr` N50 table) for
     every weight threshold in [n_min, n_max]; returns the path filenames.
 
-    Mirrors the reference's sweep artifacts (ntLink:156-158, 228-231); the
-    sweep is embarrassingly parallel but each layout is tiny host work.
+    Mirrors the reference's sweep artifacts (ntLink:156-158, 228-231). The
+    sweep is embarrassingly parallel: with `threads` > 1 (the reference's
+    `t=` knob) the per-n layouts run in worker processes — worthwhile on
+    dense noisy graphs, pure overhead on golden-scale ones.
     """
+    jobs = [
+        (graph, contig_lengths, n, seed_length, min_gap)
+        for n in range(n_min, n_max + 1)
+    ]
+    if threads > 1 and len(jobs) > 1 and graph.n_edges() >= 512:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(threads, len(jobs))) as ex:
+            rendered = list(ex.map(_sweep_one, jobs))
+    else:
+        rendered = [_sweep_one(job) for job in jobs]
+
     out_files = []
-    for n in range(n_min, n_max + 1):
-        result = layout(graph, contig_lengths, n, seed_length, min_gap)
+    for n, body, sterr in rendered:
         path_file = f"{prefix}.n{n}.abyss-scaffold.path"
         with open(path_file, "w") as fh:
-            for i, p in enumerate(result.paths):
-                fh.write(f"{i}\t{p.render()}\n")
+            fh.write(body)
         with open(path_file + ".sterr", "w") as fh:
-            fh.write(FAC_HEADER + "\n")
-            fh.write(
-                fac_row(
-                    result.scaffold_lengths(contig_lengths),
-                    f"n={n} s={seed_length}",
-                )
-                + "\n"
-            )
+            fh.write(sterr)
         out_files.append(path_file)
     return out_files

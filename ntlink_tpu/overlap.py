@@ -15,6 +15,7 @@ and medians go through numpy.
 """
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
@@ -193,6 +194,42 @@ def _dist_from_end(ori: str, pos: int, length: int, is_target: bool) -> int:
     return -pos
 
 
+def _print_mx_graph(
+    out_path: str,
+    nodes: List[str],
+    adj: Dict[str, Dict[str, int]],
+    info: Dict[str, Dict[str, int]],
+    pair_names: List[str],
+) -> None:
+    """Append one pair's minimizer graph in the reference's verbose DOT
+    dialect (ntlink_overlap_sequences.py:204-244): node labels carry the
+    (contig, position) sightings, edges the adjacency weight; post-filter
+    every edge has both contigs' support, so the colour is lightgrey."""
+    colours = ["red", "green", "blue", "purple", "orange",
+               "turquoise", "pink", "yellow", "orchid", "salmon"]
+    with open(out_path, "a") as fh:
+        fh.write("graph G {\n")
+        for node in nodes:
+            sightings = "\n".join(
+                str((name, info[name][node]))
+                for name in pair_names
+                if node in info[name]
+            )
+            fh.write(f'"{node}" [label="{node}\n{sightings}"]\n')
+        done = set()
+        for a in nodes:
+            for b, weight in adj[a].items():
+                if (b, a) in done:
+                    continue
+                done.add((a, b))
+                fh.write(f'"{a}" -- "{b}" [weight={weight} color=lightgrey]\n')
+        fh.write("}\n")
+    print("\nfile_name\tnumber\tcolour")
+    for i, name in enumerate(pair_names):
+        print(name, i, colours[i % len(colours)], sep="\t")
+    print("")
+
+
 def find_overlap_cuts(
     mxs: Dict[str, List[str]],
     info: Dict[str, Dict[str, int]],
@@ -202,6 +239,7 @@ def find_overlap_cuts(
     lengths: Dict[str, int],
     overlap_d: int,
     small_k: int,
+    mx_dot: Optional[str] = None,
 ) -> bool:
     """Choose cut points for one overlapping join
     (reference merge_overlapping:341-417). Returns True when cuts are set."""
@@ -243,6 +281,9 @@ def find_overlap_cuts(
     for a in adj:
         for b in [b for b, w in adj[a].items() if w < 2]:
             del adj[a][b]
+
+    if mx_dot:
+        _print_mx_graph(mx_dot, nodes, adj, info, [s_name, t_name])
 
     # connected components
     comp_of: Dict[str, int] = {}
@@ -392,6 +433,14 @@ def overlap_stage(
         mx_info[rec.name] = info
         mx_lists[rec.name] = ordered
 
+    # verbose minimizer-graph dump (reference -v; one appended DOT block
+    # per overlapping pair). Truncate up front so reruns stay deterministic.
+    mx_dot = None
+    if cfg.v:
+        mx_dot = f"{prefix}.mx.dot"
+        if os.path.exists(mx_dot):
+            os.unlink(mx_dot)
+
     outgap = cfg.merge_gap + 1  # abyss-scaffold +1 path-file convention
 
     paths: Dict[str, List[str]] = {}
@@ -408,6 +457,7 @@ def overlap_stage(
                 cuts_found = find_overlap_cuts(
                     mx_lists, mx_info, source, target, trims, lengths,
                     graph.edge(source, target).d, cfg.small_k,
+                    mx_dot=mx_dot,
                 )
                 if cuts_found:
                     gap = f"{outgap}N"

@@ -412,7 +412,8 @@ def layout_and_stitch(cfg: ScaffoldConfig, dot_path: str) -> str:
     contig_lengths = read_scaffold_lengths(cfg.target)
     log("Layout n-sweep", f"n={cfg.n}..{cfg.max_n}")
     sweep_files = run_n_sweep(
-        graph, contig_lengths, cfg.n, cfg.max_n, cfg.z, cfg.g, prefix
+        graph, contig_lengths, cfg.n, cfg.max_n, cfg.z, cfg.g, prefix,
+        threads=cfg.t,
     )
     stitch(
         sweep_files,

@@ -156,3 +156,12 @@ def test_native_chainer_many_distinct_contigs():
     assert len(runs_raw) == len(expected)
     for got, run in zip(runs_raw, expected):
         assert names[got[0]] == run.contig and got[1] == run.hit_count
+
+
+def test_unknown_parameter_fails_loudly():
+    import pytest
+
+    from ntlink_tpu.cli import build_config
+
+    with pytest.raises(SystemExit):
+        build_config({"bogus_knob": "1"})

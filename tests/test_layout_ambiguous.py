@@ -142,3 +142,78 @@ def test_layout_end_to_end_with_noise_beats_conservative():
     # N50 with the backbone joined: 4 contigs in one scaffold
     ls = sorted(res.scaffold_lengths(lengths), reverse=True)
     assert ls[0] == 4 * 5000
+
+
+def test_transitive_reduction_dense_graph_stays_fast():
+    """Realistic noisy regimes (local branch noise on a backbone; repeat
+    hubs with many long links): one reduction stays around a second, and
+    the parallel n-sweep spreads the ten thresholds over workers."""
+    import time
+
+    import numpy as np
+
+    from ntlink_tpu.graphio import EdgeAttr, ScaffoldGraph
+    from ntlink_tpu.layout import remove_transitive_edges
+
+    rng = np.random.default_rng(3)
+    g = ScaffoldGraph()
+    n = 1500
+    names = [f"v{i}+" for i in range(n)]
+    for x in names:
+        g.add_node(x, 5000)
+    for i in range(n - 1):
+        g.add_edge(names[i], names[i + 1], EdgeAttr(d=100, n=5))
+    for _ in range(6000):  # local noise
+        a = int(rng.integers(0, n))
+        b = a + int(rng.integers(-20, 21))
+        if 0 <= b < n and a != b:
+            g.add_edge(names[a], names[b], EdgeAttr(d=100, n=1))
+    for i in range(0, n, 15):  # repeat hubs with long links
+        for _ in range(20):
+            b = int(rng.integers(0, n))
+            if b != i:
+                g.add_edge(names[i], names[b], EdgeAttr(d=100, n=1))
+    t0 = time.time()
+    remove_transitive_edges(g)
+    assert time.time() - t0 < 3.0
+
+
+def test_parallel_n_sweep_matches_serial(tmp_path, monkeypatch):
+    """run_n_sweep with worker processes writes byte-identical sweep
+    artifacts to the serial path."""
+    import filecmp
+    import os
+
+    import numpy as np
+
+    from ntlink_tpu.graphio import EdgeAttr, ScaffoldGraph
+    from ntlink_tpu.layout import run_n_sweep
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(9)
+    g = ScaffoldGraph()
+    n = 300
+    names = [f"v{i}" for i in range(n)]
+    lengths = {}
+    for x in names:
+        ln = int(rng.integers(2000, 9000))
+        lengths[x] = ln
+        g.add_node(x + "+", ln)
+        g.add_node(x + "-", ln)
+    for i in range(n - 1):
+        w = int(rng.integers(1, 8))
+        g.add_edge(names[i] + "+", names[i + 1] + "+", EdgeAttr(d=100, n=w))
+        g.add_edge(names[i + 1] + "-", names[i] + "-", EdgeAttr(d=100, n=w))
+    for _ in range(400):
+        a, b = rng.integers(0, n, 2)
+        if a == b or g.has_edge(names[a] + "+", names[b] + "+"):
+            continue
+        g.add_edge(names[a] + "+", names[b] + "+", EdgeAttr(d=100, n=1))
+        g.add_edge(names[b] + "-", names[a] + "-", EdgeAttr(d=100, n=1))
+
+    serial = run_n_sweep(g, lengths, 1, 5, 1000, 20, "ser", threads=1)
+    parallel = run_n_sweep(g, lengths, 1, 5, 1000, 20, "par", threads=4)
+    assert len(serial) == len(parallel)
+    for a, b in zip(serial, parallel):
+        assert filecmp.cmp(a, b, shallow=False)
+        assert filecmp.cmp(a + ".sterr", b + ".sterr", shallow=False)

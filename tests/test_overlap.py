@@ -120,3 +120,30 @@ def test_overlap_stage_memory_is_bounded(tmp_path, monkeypatch):
     small = run(4)
     big = run(32)  # 8x the assembly, same largest contig
     assert big < 1.5 * small, (small, big)
+
+
+def test_verbose_minimizer_graph_dump(tmp_path, monkeypatch):
+    """v=1 emits the reference's per-pair minimizer-graph DOT
+    (ntlink_overlap_sequences.py:204-244): one graph block per overlapping
+    join, node labels carrying (contig, position) sightings."""
+    import re
+
+    from ntlink_tpu.config import ScaffoldConfig
+    from ntlink_tpu.pipeline import scaffold_stage
+    from conftest import REF_TESTS_DIR
+
+    for f in ("scaffolds_4.fa", "long_reads_4.fa.gz"):
+        shutil.copy(os.path.join(REF_TESTS_DIR, f), tmp_path / f)
+    monkeypatch.chdir(tmp_path)
+    cfg = ScaffoldConfig(
+        target="scaffolds_4.fa", reads=["long_reads_4.fa.gz"], k=40, w=100,
+        z=1000, overlap=True, merge_gap=0, backend="numpy", v=1,
+    )
+    scaffold_stage(cfg)
+    mx_dot = f"{cfg.resolved_prefix()}.mx.dot"
+    assert os.path.exists(mx_dot)
+    text = open(mx_dot).read()
+    assert text.count("graph G {") >= 1
+    # node labels carry per-contig sightings: ('ctg', pos)
+    assert re.search(r'\[label=".*\n\(\'\S+\', \d+\)', text)
+    assert "color=lightgrey" in text
