@@ -79,11 +79,6 @@ class DeviceMapper:
         self.n_devices = len(jax.devices()) if use_mesh else 1
         if index_sharding == "hash" and self.n_devices == 1:
             index_sharding = "replicated"  # nothing to shard over
-        if index_sharding == "hash" and with_hashes:
-            raise ValueError(
-                "index_sharding=hash does not support the repeat filter "
-                "(matched-hash readback); use the replicated index"
-            )
         self.index_sharding = index_sharding
         self.with_hashes = with_hashes
         if index_sharding == "hash":
@@ -118,7 +113,8 @@ class DeviceMapper:
             from .parallel.sharded_index import make_sharded_index_mapping_step
 
             step = make_sharded_index_mapping_step(
-                self._mesh2d, self.didx, self.k, self.w, L, key[1]
+                self._mesh2d, self.didx, self.k, self.w, L, key[1],
+                with_hashes=self.with_hashes,
             )
         elif self.n_devices > 1:
             step = make_sharded_mapping_step(

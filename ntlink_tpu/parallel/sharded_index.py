@@ -197,7 +197,12 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
         rpos_packed = m_pos | (cstr_g << 29) | (m_fwd.astype(jnp.int32) << 30)
         count = found_any.sum(axis=1).astype(jnp.int32)
         n_minimizers = emit.sum(axis=1).astype(jnp.int32)
-        return count, n_minimizers, rpos_packed, cid_g, cpos_g, found_any
+        # q_hi/q_lo come from the sketch of this rank's data block alone —
+        # identical on every idx rank, so they are replicated over idx by
+        # construction (no collective needed). Returned for the repeat
+        # filter's matched-hash readback (pipeline._map_reads_generic).
+        return (count, n_minimizers, rpos_packed, cid_g, cpos_g, found_any,
+                q_hi, q_lo)
 
     data_spec = P("data", None)
     table_spec = P("idx", None)
@@ -210,6 +215,7 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
         ),
         out_specs=(
             P("data"), P("data"), data_spec, data_spec, data_spec, data_spec,
+            data_spec, data_spec,
         ),
         **_CHECK_KW,
     )
@@ -217,21 +223,29 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
 
 def make_sharded_index_mapping_step(mesh: Mesh, sidx: ShardedDeviceIndex,
                                     k: int, w: int, L: int,
-                                    max_anchors: int):
+                                    max_anchors: int,
+                                    with_hashes: bool = False):
     """Full mapping step over the hash-sharded index — packed input and the
     engine's standard {meta, flat} output contract (parallel.mesh), so
-    DeviceMapper drains it exactly like the replicated path."""
+    DeviceMapper drains it exactly like the replicated path. `with_hashes`
+    adds the matched minimizer hash planes (repeat-filter readback)."""
     join = _sharded_join(mesh, sidx, k, w, max_anchors)
 
     @jax.jit
     def full_step(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand):
         codes = unpack_codes(packed, L)
-        count, n_mins, rpos_packed, cid, cpos, found = join(
+        count, n_mins, rpos_packed, cid, cpos, found, q_hi, q_lo = join(
             codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand
         )
         order_flat = jnp.argsort(~found.reshape(-1), stable=True)
         takef = lambda a: a.reshape(-1)[order_flat]
-        flat = jnp.stack([takef(rpos_packed), takef(cid), takef(cpos)], axis=0)
+        planes = [takef(rpos_packed), takef(cid), takef(cpos)]
+        if with_hashes:
+            planes += [
+                takef(q_hi).astype(jnp.int32),
+                takef(q_lo).astype(jnp.int32),
+            ]
+        flat = jnp.stack(planes, axis=0)
         return {
             "meta": jnp.concatenate([count, n_mins]),
             "flat": flat,
@@ -256,7 +270,7 @@ def make_sharded_index_join(mesh: Mesh, sidx: ShardedDeviceIndex,
 
     @jax.jit
     def step(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand):
-        count, _, rpos_packed, cid, cpos, found = join(
+        count, _, rpos_packed, cid, cpos, found, _, _ = join(
             codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand
         )
         order = jnp.argsort(~found, axis=1, stable=True)

@@ -63,9 +63,16 @@ def test_sharded_join_matches_replicated_lookup():
         assert np.array_equal(got[3, :n], exp_bits), f"row {r} strands"
 
 
-def test_pair_stage_hash_sharded_matches_replicated(tmp_path, monkeypatch):
+import pytest
+
+
+@pytest.mark.parametrize("repeats", [False, True])
+def test_pair_stage_hash_sharded_matches_replicated(
+    tmp_path, monkeypatch, repeats
+):
     """Full pair stage with index_sharding=hash on the 2-D virtual mesh ==
-    the replicated-index outputs bit for bit."""
+    the replicated-index outputs bit for bit; repeats=True exercises the
+    matched-hash readback planes through the sharded join."""
     import filecmp
     import os
     import shutil
@@ -84,7 +91,7 @@ def test_pair_stage_hash_sharded_matches_replicated(tmp_path, monkeypatch):
         cfg = ScaffoldConfig(
             target="scaffolds_1.fa", reads=["long_reads_1.fa"], k=32, w=250,
             z=1000, pairs_tsv=True, backend="jax", batch_bases=2_000_000,
-            index_sharding=sharding, idx_shards=4,
+            index_sharding=sharding, idx_shards=4, repeats=repeats,
         )
         pair_stage(cfg)
         outputs[sharding] = d
