@@ -584,8 +584,12 @@ def gap_fill_stage(cfg: ScaffoldConfig) -> str:
 
     wanted = {p.chosen_read for p in pairs.values() if p.chosen_read is not None}
     reads: Dict[str, str] = {}
-    for reads_file in cfg.reads:
-        for rec in stream_fastx(reads_file):
+    # scan read files for the chosen reads with parallel decompression
+    # (reference uses threaded btllib SeqReader, ntlink_patch_gaps.py:264-273)
+    from .seqio.fastx import prefetch_files
+
+    for _, rec_iter in prefetch_files(cfg.reads, stream_fastx, threads=cfg.t):
+        for rec in rec_iter:
             if rec.name in wanted:
                 reads[rec.name] = rec.seq
 

@@ -11,6 +11,12 @@
  *     iterator of (name: str, comment: str | None, payload: bytes,
  *                  qual: bytes | None)
  *     payload is the raw sequence (codes=False) or the encoded code bytes.
+ *
+ * The whole record parse — zlib inflate, line splitting, 2-bit encoding —
+ * runs with the GIL RELEASED (the reference gets the same effect from
+ * pigz -p + a separate indexlr process; ntLink:112-117,221-225). Only the
+ * final Python object construction holds the GIL, so reader threads
+ * decompress genuinely in parallel with host-side chaining/tally work.
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
@@ -22,6 +28,13 @@
 #define CHUNK (1 << 20)
 
 static unsigned char CODE_TAB[256];
+
+/* -- dynamic byte buffer (plain malloc: usable without the GIL) --------- */
+typedef struct {
+    char *data;
+    size_t len;
+    size_t cap;
+} DynBuf;
 
 typedef struct {
     PyObject_HEAD
@@ -36,14 +49,9 @@ typedef struct {
     char *pending;
     size_t pending_len;
     int pending_is_fastq;
+    /* per-record scratch, reused across records */
+    DynBuf line;
 } ReaderObject;
-
-/* -- dynamic byte buffer ------------------------------------------------ */
-typedef struct {
-    char *data;
-    size_t len;
-    size_t cap;
-} DynBuf;
 
 static int dyn_reserve(DynBuf *b, size_t extra)
 {
@@ -52,7 +60,7 @@ static int dyn_reserve(DynBuf *b, size_t extra)
     size_t cap = b->cap ? b->cap : 4096;
     while (cap < b->len + extra)
         cap *= 2;
-    char *p = PyMem_Realloc(b->data, cap);
+    char *p = realloc(b->data, cap);
     if (!p)
         return -1;
     b->data = p;
@@ -62,22 +70,25 @@ static int dyn_reserve(DynBuf *b, size_t extra)
 
 static void dyn_free(DynBuf *b)
 {
-    PyMem_Free(b->data);
+    free(b->data);
     b->data = NULL;
     b->len = b->cap = 0;
 }
 
 /* -- buffered line reading --------------------------------------------- */
 
+/* No Python API below this line until Reader_iternext's object-building
+ * phase: parse-path helpers return negative codes instead of setting
+ * exceptions so they can run with the GIL released.
+ *   -1 = IO error, -2 = out of memory */
+
 static int fill_buffer(ReaderObject *self)
 {
     if (self->eof)
         return 0;
     int n = gzread(self->gz, self->buf, CHUNK);
-    if (n < 0) {
-        PyErr_SetString(PyExc_IOError, "gzread failed");
+    if (n < 0)
         return -1;
-    }
     if (n == 0)
         self->eof = 1;
     self->buf_len = (size_t)n;
@@ -86,7 +97,7 @@ static int fill_buffer(ReaderObject *self)
 }
 
 /* Append the next line (without trailing newline) into out.
- * Returns 1 on line read, 0 on EOF, -1 on error. */
+ * Returns 1 on line read, 0 on EOF, negative code on error. */
 static int read_line(ReaderObject *self, DynBuf *out)
 {
     out->len = 0;
@@ -104,7 +115,7 @@ static int read_line(ReaderObject *self, DynBuf *out)
         size_t span = nl ? (size_t)(nl - start) : avail;
         if (span) {
             if (dyn_reserve(out, span) < 0)
-                return -1;
+                return -2;
             memcpy(out->data + out->len, start, span);
             out->len += span;
         }
@@ -123,8 +134,9 @@ static void Reader_dealloc(ReaderObject *self)
 {
     if (self->gz)
         gzclose(self->gz);
-    PyMem_Free(self->buf);
-    PyMem_Free(self->pending);
+    free(self->buf);
+    free(self->pending);
+    dyn_free(&self->line);
     Py_TYPE(self)->tp_free((PyObject *)self);
 }
 
@@ -144,7 +156,9 @@ static PyObject *Reader_new(PyTypeObject *type, PyObject *args, PyObject *kwds)
     self->buf_len = self->buf_pos = 0;
     self->pending = NULL;
     self->pending_len = 0;
-    self->buf = PyMem_Malloc(CHUNK);
+    self->line.data = NULL;
+    self->line.len = self->line.cap = 0;
+    self->buf = malloc(CHUNK);
     if (!self->buf) {
         Py_DECREF(self);
         return PyErr_NoMemory();
@@ -165,11 +179,15 @@ static void encode_inplace(char *seq, size_t n)
         seq[i] = (char)CODE_TAB[(unsigned char)seq[i]];
 }
 
-static PyObject *Reader_iternext(ReaderObject *self)
+/* Parse one full record without touching the Python API (GIL-free).
+ * Returns 1 on record, 0 on EOF, -1 on IO error, -2 on OOM. On success
+ * *header_out is malloc'd (caller frees); seq/qual are caller-owned
+ * DynBufs. Sequence codes are encoded in place when self->codes. */
+static int parse_record(ReaderObject *self, char **header_out,
+                        size_t *header_len_out, DynBuf *seq, DynBuf *qual,
+                        int *have_qual_out)
 {
-    DynBuf line = {0};
-    DynBuf seq = {0};
-    DynBuf qual = {0};
+    DynBuf *line = &self->line;
     char *header = NULL;
     size_t header_len = 0;
     int rc;
@@ -181,15 +199,15 @@ static PyObject *Reader_iternext(ReaderObject *self)
         self->pending = NULL;
     } else {
         for (;;) {
-            rc = read_line(self, &line);
+            rc = read_line(self, line);
             if (rc <= 0)
-                goto stop_or_error;
-            if (line.len && (line.data[0] == '>' || line.data[0] == '@')) {
-                header = PyMem_Malloc(line.len); /* drops the marker */
+                return rc;
+            if (line->len && (line->data[0] == '>' || line->data[0] == '@')) {
+                header = malloc(line->len ? line->len : 1); /* drops marker */
                 if (!header)
-                    goto nomem;
-                memcpy(header, line.data + 1, line.len - 1);
-                header_len = line.len - 1;
+                    return -2;
+                memcpy(header, line->data + 1, line->len - 1);
+                header_len = line->len - 1;
                 break;
             }
         }
@@ -198,105 +216,127 @@ static PyObject *Reader_iternext(ReaderObject *self)
     /* read sequence lines until the next header or '+' */
     int next_is_plus = 0;
     for (;;) {
-        rc = read_line(self, &line);
+        rc = read_line(self, line);
         if (rc < 0)
             goto error;
         if (rc == 0)
             break;
-        if (line.len &&
-            (line.data[0] == '>' || line.data[0] == '@' || line.data[0] == '+')) {
-            if (line.data[0] == '+') {
+        if (line->len &&
+            (line->data[0] == '>' || line->data[0] == '@' ||
+             line->data[0] == '+')) {
+            if (line->data[0] == '+') {
                 next_is_plus = 1;
             } else {
-                self->pending = PyMem_Malloc(line.len);
-                if (!self->pending)
-                    goto nomem;
-                memcpy(self->pending, line.data + 1, line.len - 1);
-                self->pending_len = line.len - 1;
+                self->pending = malloc(line->len);
+                if (!self->pending) {
+                    rc = -2;
+                    goto error;
+                }
+                memcpy(self->pending, line->data + 1, line->len - 1);
+                self->pending_len = line->len - 1;
             }
             break;
         }
-        if (dyn_reserve(&seq, line.len) < 0)
-            goto nomem;
-        memcpy(seq.data + seq.len, line.data, line.len);
-        seq.len += line.len;
+        if (dyn_reserve(seq, line->len) < 0) {
+            rc = -2;
+            goto error;
+        }
+        memcpy(seq->data + seq->len, line->data, line->len);
+        seq->len += line->len;
     }
 
     int have_qual = 0;
     if (next_is_plus) {
         /* FASTQ: read quality until it covers the sequence */
-        while (qual.len < seq.len) {
-            rc = read_line(self, &line);
+        while (qual->len < seq->len) {
+            rc = read_line(self, line);
             if (rc < 0)
                 goto error;
             if (rc == 0)
                 break;
-            if (dyn_reserve(&qual, line.len) < 0)
-                goto nomem;
-            memcpy(qual.data + qual.len, line.data, line.len);
-            qual.len += line.len;
+            if (dyn_reserve(qual, line->len) < 0) {
+                rc = -2;
+                goto error;
+            }
+            memcpy(qual->data + qual->len, line->data, line->len);
+            qual->len += line->len;
         }
-        have_qual = qual.len >= seq.len;
+        have_qual = qual->len >= seq->len;
+    }
+
+    if (self->codes)
+        encode_inplace(seq->data, seq->len);
+    *header_out = header;
+    *header_len_out = header_len;
+    *have_qual_out = have_qual;
+    return 1;
+
+error:
+    free(header);
+    return rc;
+}
+
+static PyObject *Reader_iternext(ReaderObject *self)
+{
+    DynBuf seq = {0};
+    DynBuf qual = {0};
+    char *header = NULL;
+    size_t header_len = 0;
+    int have_qual = 0;
+    int rc;
+
+    Py_BEGIN_ALLOW_THREADS
+    rc = parse_record(self, &header, &header_len, &seq, &qual, &have_qual);
+    Py_END_ALLOW_THREADS
+
+    if (rc <= 0) {
+        dyn_free(&seq);
+        dyn_free(&qual);
+        if (rc == 0)
+            PyErr_SetNone(PyExc_StopIteration);
+        else if (rc == -2)
+            PyErr_NoMemory();
+        else
+            PyErr_SetString(PyExc_IOError, "gzread failed");
+        return NULL;
     }
 
     /* split header into name + comment */
-    {
-        size_t sp = 0;
-        while (sp < header_len && header[sp] != ' ' && header[sp] != '\t')
-            sp++;
-        PyObject *name = PyUnicode_DecodeASCII(header, sp, "replace");
-        PyObject *comment;
-        if (sp < header_len) {
-            size_t cstart = sp;
-            while (cstart < header_len &&
-                   (header[cstart] == ' ' || header[cstart] == '\t'))
-                cstart++;
-            comment = PyUnicode_DecodeASCII(header + cstart,
-                                            header_len - cstart, "replace");
-        } else {
-            comment = Py_None;
-            Py_INCREF(Py_None);
-        }
-        if (self->codes)
-            encode_inplace(seq.data, seq.len);
-        PyObject *payload = PyBytes_FromStringAndSize(seq.data, seq.len);
-        PyObject *qual_obj;
-        if (have_qual) {
-            qual_obj = PyBytes_FromStringAndSize(qual.data, qual.len);
-        } else {
-            qual_obj = Py_None;
-            Py_INCREF(Py_None);
-        }
-        PyObject *result = NULL;
-        if (name && comment && payload && qual_obj)
-            result = PyTuple_Pack(4, name, comment, payload, qual_obj);
-        Py_XDECREF(name);
-        Py_XDECREF(comment);
-        Py_XDECREF(payload);
-        Py_XDECREF(qual_obj);
-        PyMem_Free(header);
-        dyn_free(&line);
-        dyn_free(&seq);
-        dyn_free(&qual);
-        return result;
+    size_t sp = 0;
+    while (sp < header_len && header[sp] != ' ' && header[sp] != '\t')
+        sp++;
+    PyObject *name = PyUnicode_DecodeASCII(header, sp, "replace");
+    PyObject *comment;
+    if (sp < header_len) {
+        size_t cstart = sp;
+        while (cstart < header_len &&
+               (header[cstart] == ' ' || header[cstart] == '\t'))
+            cstart++;
+        comment = PyUnicode_DecodeASCII(header + cstart,
+                                        header_len - cstart, "replace");
+    } else {
+        comment = Py_None;
+        Py_INCREF(Py_None);
     }
-
-nomem:
-    PyErr_NoMemory();
-error:
-    PyMem_Free(header);
-    dyn_free(&line);
+    PyObject *payload = PyBytes_FromStringAndSize(seq.data, seq.len);
+    PyObject *qual_obj;
+    if (have_qual) {
+        qual_obj = PyBytes_FromStringAndSize(qual.data, qual.len);
+    } else {
+        qual_obj = Py_None;
+        Py_INCREF(Py_None);
+    }
+    PyObject *result = NULL;
+    if (name && comment && payload && qual_obj)
+        result = PyTuple_Pack(4, name, comment, payload, qual_obj);
+    Py_XDECREF(name);
+    Py_XDECREF(comment);
+    Py_XDECREF(payload);
+    Py_XDECREF(qual_obj);
+    free(header);
     dyn_free(&seq);
     dyn_free(&qual);
-    return NULL;
-
-stop_or_error:
-    dyn_free(&line);
-    dyn_free(&seq);
-    dyn_free(&qual);
-    if (rc == 0)
-        PyErr_SetNone(PyExc_StopIteration);
-    return NULL;
+    return result;
 }
 
 static PyTypeObject ReaderType = {
@@ -335,21 +375,30 @@ static PyObject *py_pack_batch(PyObject *self, PyObject *args)
     if (!out)
         return NULL;
     unsigned char *dst = (unsigned char *)PyBytes_AS_STRING(out);
+
+    /* phase 1 (GIL held): pin every row's buffer */
+    Py_buffer *views = PyMem_Malloc(sizeof(Py_buffer) * (nrows ? nrows : 1));
+    if (!views) {
+        Py_DECREF(out);
+        return PyErr_NoMemory();
+    }
+    Py_ssize_t got = 0;
+    for (; got < nrows; got++) {
+        PyObject *item = PySequence_GetItem(rows, got);
+        if (!item)
+            goto fail;
+        int rc = PyObject_GetBuffer(item, &views[got], PyBUF_SIMPLE);
+        Py_DECREF(item);
+        if (rc < 0)
+            goto fail;
+    }
+
+    /* phase 2 (GIL released): the packing loop itself */
+    Py_BEGIN_ALLOW_THREADS
     memset(dst, 0, (size_t)(nrows * stride));
     for (Py_ssize_t r = 0; r < nrows; r++) {
-        PyObject *item = PySequence_GetItem(rows, r);
-        if (!item) {
-            Py_DECREF(out);
-            return NULL;
-        }
-        Py_buffer view;
-        if (PyObject_GetBuffer(item, &view, PyBUF_SIMPLE) < 0) {
-            Py_DECREF(item);
-            Py_DECREF(out);
-            return NULL;
-        }
-        const unsigned char *src = view.buf;
-        Py_ssize_t n = view.len < pad ? view.len : pad;
+        const unsigned char *src = views[r].buf;
+        Py_ssize_t n = views[r].len < pad ? views[r].len : pad;
         unsigned char *row_dst = dst + r * stride;
         Py_ssize_t full = n / 4;
         for (Py_ssize_t i = 0; i < full; i++) {
@@ -359,10 +408,20 @@ static PyObject *py_pack_batch(PyObject *self, PyObject *args)
         }
         for (Py_ssize_t b = full * 4; b < n; b++)
             row_dst[b / 4] |= (unsigned char)((src[b] & 3) << (2 * (b % 4)));
-        PyBuffer_Release(&view);
-        Py_DECREF(item);
     }
+    Py_END_ALLOW_THREADS
+
+    for (Py_ssize_t r = 0; r < nrows; r++)
+        PyBuffer_Release(&views[r]);
+    PyMem_Free(views);
     return out;
+
+fail:
+    for (Py_ssize_t r = 0; r < got; r++)
+        PyBuffer_Release(&views[r]);
+    PyMem_Free(views);
+    Py_DECREF(out);
+    return NULL;
 }
 
 static PyMethodDef fastx_methods[] = {

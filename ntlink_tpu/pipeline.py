@@ -20,7 +20,7 @@ from .mapping import AnchorHit, chain_read_hits
 from .pairs import PairTally, tally_from_checkpoint
 from .paf import paf_lines
 from .seqio import stream_fastx
-from .seqio.fastx import prefetch_iter
+from .seqio.fastx import prefetch_files
 from .sketch import get_backend, sketch_fasta_to_tsv
 
 
@@ -54,12 +54,11 @@ def read_scaffold_lengths(path: str) -> Dict[str, int]:
     return {rec.name: len(rec.seq) for rec in stream_fastx(path)}
 
 
-def _host_hit_stream(cfg, index, reads_file):
+def _host_hit_stream_codes(cfg, index, codes_iter):
     """NumPy-backend per-read anchor stream (sketch + dict join on host)."""
     from .ops import nthash_np
-    from .seqio.fastx import stream_codes
 
-    for name, codes in stream_codes(reads_file):
+    for name, codes in codes_iter:
         mins = nthash_np.sketch_codes(codes, cfg.k, cfg.w)
         mask = index.member_mask(mins.hashes)
         if not mask.any():
@@ -190,11 +189,14 @@ def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh):
         g_lens.clear()
         g_raw.clear()
 
-    for reads_file in cfg.reads:
+    # parallel decompression: up to cfg.t read files parse concurrently on
+    # background threads (pigz-equivalent; file order preserved for the
+    # order-sensitive verbose/tally artifacts)
+    for reads_file, codes_iter in prefetch_files(
+        cfg.reads, stream_codes, threads=cfg.t
+    ):
         log("Mapping reads", reads_file, "(native batch chain)")
-        for name, read_len, raw in mapper.map_stream_raw(
-            prefetch_iter(stream_codes(reads_file))
-        ):
+        for name, read_len, raw in mapper.map_stream_raw(codes_iter):
             n_reads += 1
             g_names.append(name)
             g_lens.append(read_len)
@@ -208,17 +210,17 @@ def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh):
 def _map_reads_generic(cfg, mapper, index, tally, contig_lengths,
                        verbose_fh, paf_fh):
     """General path: per-hit objects (needed for PAF output / repeat filter)."""
+    from .seqio.fastx import stream_codes
+
     n_reads = 0
-    for reads_file in cfg.reads:
+    for reads_file, codes_iter in prefetch_files(
+        cfg.reads, stream_codes, threads=cfg.t
+    ):
         log("Mapping reads", reads_file)
         if mapper is not None:
-            from .seqio.fastx import stream_codes
-
-            hit_stream = mapper.map_stream(
-                prefetch_iter(stream_codes(reads_file))
-            )
+            hit_stream = mapper.map_stream(codes_iter)
         else:
-            hit_stream = _host_hit_stream(cfg, index, reads_file)
+            hit_stream = _host_hit_stream_codes(cfg, index, codes_iter)
         for name, read_len, hits in hit_stream:
             n_reads += 1
             if not hits:

@@ -61,3 +61,46 @@ def test_weird_records(tmp_path):
     native = [(r.name, r.seq, r.comment, r.qual) for r in stream_fastx(str(p))]
     ref = python_records(str(p))
     assert native == ref
+
+
+def test_prefetch_files_order_and_parity(tmp_path):
+    """Parallel multi-file prefetch yields files in input order with the
+    same records as serial reads (the pigz-equivalent must not perturb any
+    order-sensitive artifact)."""
+    import gzip
+
+    from ntlink_tpu.seqio.fastx import prefetch_files
+
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"r{i}.fa.gz")
+        with gzip.open(p, "wt") as fh:
+            for j in range(50):
+                fh.write(f">f{i}_r{j}\n{'ACGT' * (10 + j)}\n")
+        paths.append(p)
+
+    serial = [
+        (p, [(r.name, r.seq) for r in stream_fastx(p)]) for p in paths
+    ]
+    for threads in (1, 3, 8):
+        got = [
+            (p, [(r.name, r.seq) for r in it])
+            for p, it in prefetch_files(paths, stream_fastx, threads=threads)
+        ]
+        assert got == serial, f"threads={threads}"
+
+
+def test_prefetch_files_propagates_exceptions(tmp_path):
+    from ntlink_tpu.seqio.fastx import prefetch_files
+
+    ok = str(tmp_path / "ok.fa")
+    with open(ok, "w") as fh:
+        fh.write(">a\nACGT\n")
+    missing = str(tmp_path / "missing.fa")
+
+    results = prefetch_files([ok, missing], stream_fastx, threads=2)
+    p, it = next(results)
+    assert [r.name for r in it] == ["a"]
+    p, it = next(results)
+    with pytest.raises(Exception):
+        list(it)
