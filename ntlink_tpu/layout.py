@@ -66,15 +66,42 @@ def remove_transitive_edges(g: ScaffoldGraph) -> ScaffoldGraph:
     (<= MAX_TRANSITIVE_HOPS hops; sequential per-edge semantics, so an
     edge removed earlier is no longer available as a first hop).
 
-    The per-edge early-exit DFS has the best constants of the variants
-    measured (grouped origin-tracking BFS included — set bookkeeping costs
-    3-6x more in Python than the early exits save; see
-    tests/test_layout_ambiguous.py perf case). Wall-clock scaling for big
-    noisy graphs comes from running the n-sweep's ten thresholds in
-    parallel worker processes (run_n_sweep threads=).
+    The native C kernel (native/graph.c) replicates the walk exactly —
+    including the traversal-order-sensitive seen-marking — and runs the
+    whole reduction in one GIL-released call; the Python early-exit DFS
+    is the fallback (it beat a grouped origin-tracking BFS by 3-6x in
+    Python constants; see tests/test_layout_ambiguous.py perf case).
+    Wall-clock scaling for big noisy graphs additionally comes from
+    running the n-sweep's ten thresholds in parallel worker processes
+    (run_n_sweep threads=).
     """
     out = g.copy()
-    for s, t, _ in list(g.edges()):
+    edges = list(g.edges())
+    if not edges:
+        return out
+
+    from .native import graph_module
+
+    mod = graph_module()
+    if mod is not None:
+        import numpy as np
+
+        node_id = {name: i for i, name in enumerate(out.nodes())}
+        src = np.fromiter(
+            (node_id[s] for s, _, _ in edges), np.int32, len(edges)
+        )
+        dst = np.fromiter(
+            (node_id[t] for _, t, _ in edges), np.int32, len(edges)
+        )
+        keep = mod.transitive_reduce(
+            len(node_id), src, dst, MAX_TRANSITIVE_HOPS
+        )
+        for (s, t, _), kept in zip(edges, keep):
+            if not kept:
+                out.remove_edge(s, t)
+        return out
+
+    for s, t, _ in edges:
         if _has_alternate_path(out, s, t):
             out.remove_edge(s, t)
     return out

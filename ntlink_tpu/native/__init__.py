@@ -24,3 +24,8 @@ def fastx_module():
 def chain_module():
     """The compiled ntlink_chain module, or None if unavailable."""
     return _get("ntlink_chain")
+
+
+def graph_module():
+    """The compiled ntlink_graph module, or None if unavailable."""
+    return _get("ntlink_graph")

@@ -15,6 +15,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 MODULES = {
     "ntlink_fastx": ("fastxio.c", ["-lz"]),
     "ntlink_chain": ("chain.c", []),
+    "ntlink_graph": ("graph.c", []),
 }
 
 

@@ -217,3 +217,63 @@ def test_parallel_n_sweep_matches_serial(tmp_path, monkeypatch):
     for a, b in zip(serial, parallel):
         assert filecmp.cmp(a, b, shallow=False)
         assert filecmp.cmp(a + ".sterr", b + ".sterr", shallow=False)
+
+
+def test_native_transitive_reduce_matches_python():
+    """The C kernel (native/graph.c) is bit-compatible with the Python
+    sequential walk — same removals on random dense digraphs, including
+    the traversal-order-sensitive cases near the hop limit."""
+    import numpy as np
+
+    from ntlink_tpu.layout import _has_alternate_path, remove_transitive_edges
+    from ntlink_tpu.native import graph_module
+
+    mod = graph_module()
+    assert mod is not None, "native graph module failed to build"
+
+    def python_reduce(g):
+        out = g.copy()
+        for s, t, _ in list(g.edges()):
+            if _has_alternate_path(out, s, t):
+                out.remove_edge(s, t)
+        return out
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(4, 60))
+        g = ScaffoldGraph()
+        names = [f"v{i}+" for i in range(n)]
+        for x in names:
+            g.add_node(x, 5000)
+        n_edges = int(rng.integers(n, 5 * n))
+        seen = set()
+        for _ in range(n_edges):
+            a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if a == b or (a, b) in seen:
+                continue
+            seen.add((a, b))
+            g.add_edge(names[a], names[b], EdgeAttr(d=100, n=1))
+
+        expected = python_reduce(g)
+        got = remove_transitive_edges(g)  # uses the native kernel
+        ge = {(s, t) for s, t, _ in got.edges()}
+        ee = {(s, t) for s, t, _ in expected.edges()}
+        assert ge == ee, f"trial {trial}: native != python"
+
+
+def test_native_transitive_reduce_deep_chain_hop_limit():
+    """A bypass longer than MAX_TRANSITIVE_HOPS must NOT remove the direct
+    edge; exactly at the limit it must (both engines agree)."""
+    from ntlink_tpu.layout import MAX_TRANSITIVE_HOPS, remove_transitive_edges
+
+    for extra, expect_removed in ((0, True), (3, False)):
+        hops = MAX_TRANSITIVE_HOPS + extra
+        g = ScaffoldGraph()
+        names = [f"c{i}+" for i in range(hops + 1)]
+        for x in names:
+            g.add_node(x, 5000)
+        for i in range(hops):
+            g.add_edge(names[i], names[i + 1], EdgeAttr(d=100, n=5))
+        g.add_edge(names[0], names[-1], EdgeAttr(d=100, n=1))  # direct
+        out = remove_transitive_edges(g)
+        assert out.has_edge(names[0], names[-1]) == (not expect_removed)
