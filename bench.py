@@ -125,31 +125,73 @@ def _kernel_bench():
     from ntlink_tpu.ops.sketch_pallas import sketch_batch_pallas
 
     rng = np.random.default_rng(7)
-    # large batch: amortizes the per-dispatch tunnel cost so the number
-    # reflects the kernel, not the control link
     B, L = 2048, 16384
     codes = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
     lengths = jnp.full((B,), L, jnp.int32)
     out = {}
 
-    def run(fn, name):
-        f = jax.jit(lambda c, l: fn(c, l, K, W))
-        r = f(codes, lengths)
-        jax.block_until_ready(r)  # compile + warm
-        iters = 4
-        t0 = time.time()
-        for _ in range(iters):
-            r = f(codes, lengths)
-        jax.block_until_ready(r)
-        gbps = iters * B * L / (time.time() - t0) / 1e9
-        out[f"sketch_{name}_gbase_per_s"] = round(gbps, 1)
-        return r
+    # The tunnel to the chip costs ~0.2 s per dispatch — orders of magnitude
+    # more than the kernel itself — and has been observed to serve repeated
+    # identical dispatches from a cache and to return from block_until_ready
+    # without blocking. Defenses: (a) one dispatch runs the kernel N times
+    # inside a fori_loop with a cross-iteration data dependency that folds a
+    # full reduction of every output into the carry (defeats hoisting, DCE
+    # and output slicing), (b) a per-call seed argument makes every dispatch
+    # distinct, (c) the scalar result is fetched with int() (a D2H that
+    # cannot return early), (d) per-iteration time is the difference
+    # (t_long - t_short) / (N_long - N_short), cancelling dispatch cost.
+    N_SHORT, N_LONG = 9, 65
 
-    r_xla = run(sketch_batch_kernel, "xla")
-    r_pal = run(
+    def make_chain(fn, iters):
+        @jax.jit
+        def chained(c, l, seed):
+            def body(_, carry):
+                acc, c = carry
+                c = c.at[0, 0].set((acc & 3).astype(c.dtype))
+                r = fn(c, l, K, W)
+                acc = acc ^ (
+                    r[0].sum() + r[3].sum().astype(jnp.uint32)
+                ).astype(jnp.uint32)
+                return acc, c
+            acc, _ = jax.lax.fori_loop(
+                0, iters, body, (seed, c)
+            )
+            return acc
+        return chained
+
+    seed = [0]
+
+    def run(fn, name):
+        times = {}
+        for iters in (N_SHORT, N_LONG):
+            f = make_chain(fn, iters)
+            int(f(codes, lengths, jnp.uint32(9999)))  # compile + warm
+            best = None
+            for _ in range(3):
+                seed[0] += 1
+                t0 = time.time()
+                int(f(codes, lengths, jnp.uint32(seed[0])))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[iters] = best
+        per_iter = max(times[N_LONG] - times[N_SHORT], 1e-9) / (
+            N_LONG - N_SHORT
+        )
+        out[f"sketch_{name}_gbase_per_s"] = round(B * L / per_iter / 1e9, 2)
+
+    run(sketch_batch_kernel, "xla")
+    run(
         lambda c, l, k, w: sketch_batch_pallas(c.astype(jnp.int32), l, k, w),
         "pallas",
     )
+
+    # equality of the compiled kernels on hardware (one plain dispatch each)
+    f_xla = jax.jit(lambda c, l: sketch_batch_kernel(c, l, K, W))
+    f_pal = jax.jit(
+        lambda c, l: sketch_batch_pallas(c.astype(jnp.int32), l, K, W)
+    )
+    r_xla = f_xla(codes, lengths)
+    r_pal = f_pal(codes, lengths)
     same = all(
         bool(jnp.array_equal(a, b)) for a, b in zip(r_xla, r_pal)
     )
