@@ -15,13 +15,17 @@
  *     .chain_batch(cids, cpos, rpos, sbits: int32 buffers (anchors for all
  *            reads, concatenated), offsets: int64 buffer (n_reads+1),
  *            read_lens: int32 buffer, read_names: list[str] | None,
- *            k, z, sensitive, x)
- *       -> (runs_bytes, run_offsets_bytes, verbose_bytes | None)
+ *            k, z, sensitive, x[, mode])
+ *       -> (runs_bytes, run_offsets_bytes, verbose_bytes | None,
+ *           paf_bytes | None)
  *     chain_batch handles the whole drained device batch in one call with
  *     the GIL released; runs_bytes is int32[n_runs][8] rows
  *     (cid, hit_count, first_cpos, first_rpos, first_bits,
  *      last_cpos, last_rpos, last_bits), run_offsets_bytes is
- *     int32[n_reads+1] prefix offsets into those rows.
+ *     int32[n_reads+1] prefix offsets into those rows. mode bit 0 requests
+ *     verbose rendering, bit 1 PAF rendering (exact contract of paf.py /
+ *     reference ntlink_paf_output.py); default mode renders verbose iff
+ *     read_names is a list. Rendering requires read_names.
  *   runs (per-read form): list of the same 8 fields as tuples.
  *   sbits: bit0 = contig strand is '+', bit1 = read strand is '+'.
  */
@@ -105,6 +109,13 @@ typedef struct {
     int subsumed;
 } Run;
 
+/* sortable (ctg_pos, read_pos) key for PAF block ordering */
+typedef struct {
+    int32_t cpos;
+    int32_t rpos;
+    int32_t idx; /* tiebreak = stability */
+} PafKey;
+
 /* per-call scratch sized for the largest read in the batch */
 typedef struct {
     int32_t *kept;
@@ -112,6 +123,8 @@ typedef struct {
     int32_t *final_idx;
     Run *final_runs;
     int32_t *distinct, *mn, *mx, *mn_r, *mx_r, *cnt;
+    PafKey *pkeys, *pkeys2;
+    int32_t *paux; /* 5 lanes: ord, dsc, is_dup, trans, mark */
     Py_ssize_t cap;
 } Scratch;
 
@@ -127,13 +140,19 @@ static int scratch_reserve(Scratch *s, Py_ssize_t n)
     int32_t *f2 = realloc(s->final_idx, sizeof(int32_t) * c);
     Run *fr2 = realloc(s->final_runs, sizeof(Run) * c);
     int32_t *d2 = realloc(s->distinct, sizeof(int32_t) * c * 6);
-    if (!k2 || !r2 || !f2 || !fr2 || !d2) {
+    PafKey *p2 = realloc(s->pkeys, sizeof(PafKey) * c);
+    PafKey *p3 = realloc(s->pkeys2, sizeof(PafKey) * c);
+    int32_t *a2 = realloc(s->paux, sizeof(int32_t) * c * 5);
+    if (!k2 || !r2 || !f2 || !fr2 || !d2 || !p2 || !p3 || !a2) {
         /* keep old pointers for the free path */
         if (k2) s->kept = k2;
         if (r2) s->runs = r2;
         if (f2) s->final_idx = f2;
         if (fr2) s->final_runs = fr2;
         if (d2) s->distinct = d2;
+        if (p2) s->pkeys = p2;
+        if (p3) s->pkeys2 = p3;
+        if (a2) s->paux = a2;
         return -1;
     }
     s->kept = k2;
@@ -146,6 +165,9 @@ static int scratch_reserve(Scratch *s, Py_ssize_t n)
     s->mn_r = d2 + 3 * c;
     s->mx_r = d2 + 4 * c;
     s->cnt = d2 + 5 * c;
+    s->pkeys = p2;
+    s->pkeys2 = p3;
+    s->paux = a2;
     s->cap = c;
     return 0;
 }
@@ -157,6 +179,9 @@ static void scratch_free(Scratch *s)
     free(s->final_idx);
     free(s->final_runs);
     free(s->distinct);
+    free(s->pkeys);
+    free(s->pkeys2);
+    free(s->paux);
     memset(s, 0, sizeof(*s));
 }
 
@@ -360,6 +385,205 @@ static int render_verbose(const ChainerObject *self, ByteBuf *bb,
     return 0;
 }
 
+static int pafkey_asc(const void *a, const void *b)
+{
+    const PafKey *x = a, *y = b;
+    if (x->cpos != y->cpos)
+        return x->cpos < y->cpos ? -1 : 1;
+    if (x->rpos != y->rpos)
+        return x->rpos < y->rpos ? -1 : 1;
+    return x->idx < y->idx ? -1 : (x->idx > y->idx ? 1 : 0);
+}
+
+static int pafkey_desc(const void *a, const void *b)
+{
+    const PafKey *x = a, *y = b;
+    if (x->cpos != y->cpos)
+        return x->cpos > y->cpos ? -1 : 1;
+    if (x->rpos != y->rpos)
+        return x->rpos > y->rpos ? -1 : 1;
+    return x->idx < y->idx ? -1 : (x->idx > y->idx ? 1 : 0);
+}
+
+/* One PAF line (12-col); bb capacity must be pre-reserved. */
+static void paf_emit(const ChainerObject *self, ByteBuf *bb, const char *rname,
+                     long read_len, long k, int32_t cid, int32_t ca,
+                     int32_t cb, int32_t ra, int32_t rb, long cnt, long nsame)
+{
+    long ts = ca < cb ? ca : cb;
+    long te = (ca > cb ? ca : cb) + k;
+    long qs = ra < rb ? ra : rb;
+    long qe = (ra > rb ? ra : rb) + k;
+    /* majority-vote strand: n_same/len*100 >= 50  <=>  2*n_same >= len */
+    char strand = (2 * nsame >= cnt) ? '+' : '-';
+    char *p = bb->buf + bb->len;
+    p += sprintf(p,
+                 "%s\t%ld\t%ld\t%ld\t%c\t%s\t%d\t%ld\t%ld\t%ld\t%ld\t255\n",
+                 rname, read_len, qs, qe, strand, self->name_ptr[cid],
+                 (int)self->clen[cid], ts, te, cnt, te - ts);
+    bb->len = p - bb->buf;
+}
+
+/* Render one read's PAF lines into bb — exact contract of paf.py
+ * (reference ntlink_paf_output.py): per accepted run, stable-sort hits by
+ * (ctg_pos, read_pos); monotonic runs render whole; otherwise split/repair
+ * blocks at >=75% direction consistency or suppress. Returns 0 / -1. */
+static int render_paf(const ChainerObject *self, ByteBuf *bb,
+                      const char *rname, Py_ssize_t rname_len, long read_len,
+                      long k, Py_ssize_t n_final, const Run *final_runs,
+                      const int32_t *final_idx, const int32_t *cpos,
+                      const int32_t *rpos, const int32_t *sbits, Scratch *s)
+{
+    int32_t *ord = s->paux;
+    int32_t *is_dup = s->paux + 2 * s->cap;
+    int32_t *trans = s->paux + 3 * s->cap;
+    int32_t *mark = s->paux + 4 * s->cap; /* bit0 drop, bit1 break-before */
+
+    for (Py_ssize_t ri = 0; ri < n_final; ri++) {
+        const int32_t *hidx = final_idx + final_runs[ri].start;
+        Py_ssize_t m = final_runs[ri].end - final_runs[ri].start;
+        if (m <= 0)
+            continue;
+        if (bb_reserve(bb, (size_t)m *
+                               (rname_len +
+                                self->name_len[final_runs[ri].cid] + 200)) < 0)
+            return -1;
+        for (Py_ssize_t j = 0; j < m; j++) {
+            s->pkeys[j].cpos = cpos[hidx[j]];
+            s->pkeys[j].rpos = rpos[hidx[j]];
+            s->pkeys[j].idx = (int32_t)j;
+        }
+        qsort(s->pkeys, m, sizeof(PafKey), pafkey_asc);
+        for (Py_ssize_t t = 0; t < m; t++)
+            ord[t] = s->pkeys[t].idx;
+
+        /* hits already in ascending (or exactly descending) order -> one
+         * block over the ascending order (paf.py paf_lines) */
+        int asc_eq = 1, desc_eq = 0;
+        for (Py_ssize_t t = 0; t < m && asc_eq; t++) {
+            int32_t a = hidx[ord[t]], b = hidx[t];
+            asc_eq = cpos[a] == cpos[b] && rpos[a] == rpos[b] &&
+                     sbits[a] == sbits[b];
+        }
+        if (!asc_eq) {
+            desc_eq = 1;
+            for (Py_ssize_t t = 0; t < m; t++) {
+                s->pkeys2[t].cpos = cpos[hidx[ord[t]]];
+                s->pkeys2[t].rpos = rpos[hidx[ord[t]]];
+                s->pkeys2[t].idx = (int32_t)t;
+            }
+            qsort(s->pkeys2, m, sizeof(PafKey), pafkey_desc);
+            for (Py_ssize_t t = 0; t < m && desc_eq; t++) {
+                int32_t a = hidx[ord[s->pkeys2[t].idx]], b = hidx[t];
+                desc_eq = cpos[a] == cpos[b] && rpos[a] == rpos[b] &&
+                          sbits[a] == sbits[b];
+            }
+        }
+
+        int single = asc_eq || desc_eq;
+        int suppressed = 0;
+        if (!single) {
+            /* split_mapping_blocks(ordered): dup ctg_pos values are
+             * adjacent after the sort */
+            for (Py_ssize_t t = 0; t < m; t++)
+                is_dup[t] =
+                    (t > 0 &&
+                     cpos[hidx[ord[t]]] == cpos[hidx[ord[t - 1]]]) ||
+                    (t + 1 < m &&
+                     cpos[hidx[ord[t]]] == cpos[hidx[ord[t + 1]]]);
+            Py_ssize_t denom = m - 1, n_incr = 0, n_decr = 0;
+            for (Py_ssize_t t = 0; t < denom; t++) {
+                int32_t a = rpos[hidx[ord[t]]], b = rpos[hidx[ord[t + 1]]];
+                n_incr += a <= b;
+                n_decr += a >= b;
+            }
+            if (n_incr == denom || n_decr == denom) {
+                single = 1;
+            } else {
+                int increasing = 0;
+                /* n/denom >= 0.75  <=>  4n >= 3*denom (exact int form) */
+                if (4 * n_incr >= 3 * denom)
+                    increasing = 1;
+                else if (4 * (denom - n_incr) < 3 * denom)
+                    suppressed = 1;
+                if (!suppressed) {
+#define PAF_CONS(i1, i2)                                                     \
+    (is_dup[i1] || is_dup[i2] ||                                             \
+     (increasing ? rpos[hidx[ord[i1]]] <= rpos[hidx[ord[i2]]]                \
+                 : rpos[hidx[ord[i1]]] >= rpos[hidx[ord[i2]]]))
+                    int any_mark = 0;
+                    for (Py_ssize_t t = 0; t < denom; t++) {
+                        int32_t a = rpos[hidx[ord[t]]],
+                                b = rpos[hidx[ord[t + 1]]];
+                        trans[t] = increasing ? (a <= b) : (a >= b);
+                    }
+                    for (Py_ssize_t t = 0; t < m; t++)
+                        mark[t] = 0;
+                    for (Py_ssize_t i = 0; i < denom; i++) {
+                        if (trans[i])
+                            continue;
+                        if (is_dup[i] || is_dup[i + 1])
+                            continue;
+                        if (i + 2 >= denom)
+                            mark[i + 1] |= 2;
+                        else if (PAF_CONS(i, i + 2))
+                            mark[i + 1] |= 1;
+                        else if (i > 0 && PAF_CONS(i - 1, i + 1))
+                            mark[i] |= 1;
+                        else
+                            mark[i + 1] |= 2;
+                        any_mark = 1;
+                    }
+#undef PAF_CONS
+                    if (!any_mark)
+                        single = 1;
+                }
+            }
+        }
+        if (suppressed)
+            continue;
+
+        int32_t cid = final_runs[ri].cid;
+        if (single) {
+            long nsame = 0;
+            for (Py_ssize_t t = 0; t < m; t++) {
+                int32_t b = sbits[hidx[ord[t]]];
+                nsame += ((b ^ (b >> 1)) & 1) == 0;
+            }
+            int32_t a = hidx[ord[0]], b = hidx[ord[m - 1]];
+            paf_emit(self, bb, rname, read_len, k, cid, cpos[a], cpos[b],
+                     rpos[a], rpos[b], (long)m, nsame);
+        } else {
+            Py_ssize_t first = -1, last = -1;
+            long cnt = 0, nsame = 0;
+            for (Py_ssize_t t = 0; t < m; t++) {
+                if (mark[t] & 1)
+                    continue;
+                if ((mark[t] & 2) && cnt > 0) {
+                    int32_t a = hidx[ord[first]], b = hidx[ord[last]];
+                    paf_emit(self, bb, rname, read_len, k, cid, cpos[a],
+                             cpos[b], rpos[a], rpos[b], cnt, nsame);
+                    first = -1;
+                    cnt = 0;
+                    nsame = 0;
+                }
+                if (first < 0)
+                    first = t;
+                last = t;
+                cnt++;
+                int32_t b = sbits[hidx[ord[t]]];
+                nsame += ((b ^ (b >> 1)) & 1) == 0;
+            }
+            if (cnt > 0) {
+                int32_t a = hidx[ord[first]], b = hidx[ord[last]];
+                paf_emit(self, bb, rname, read_len, k, cid, cpos[a], cpos[b],
+                         rpos[a], rpos[b], cnt, nsame);
+            }
+        }
+    }
+    return 0;
+}
+
 static PyObject *Chainer_chain(ChainerObject *self, PyObject *args)
 {
     Py_buffer cids_v, cpos_v, rpos_v, sbits_v;
@@ -473,9 +697,10 @@ static PyObject *Chainer_chain_batch(ChainerObject *self, PyObject *args)
     long k, z;
     double x;
     int sensitive;
-    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*Ollid", &cids_v, &cpos_v,
+    int mode = -1; /* default: verbose iff read_names given, no PAF */
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*Ollid|i", &cids_v, &cpos_v,
                           &rpos_v, &sbits_v, &offs_v, &rlens_v, &read_names,
-                          &k, &z, &sensitive, &x))
+                          &k, &z, &sensitive, &x, &mode))
         return NULL;
     const int32_t *cids = cids_v.buf;
     const int32_t *cpos = cpos_v.buf;
@@ -486,17 +711,29 @@ static PyObject *Chainer_chain_batch(ChainerObject *self, PyObject *args)
     Py_ssize_t n_reads = offs_v.len / 8 - 1;
 
     PyObject *result = NULL;
-    int want_verbose = (read_names != Py_None);
+    int want_verbose, want_paf;
+    if (mode < 0) {
+        want_verbose = (read_names != Py_None);
+        want_paf = 0;
+    } else {
+        want_verbose = (mode & 1) && read_names != Py_None;
+        want_paf = (mode & 2) != 0;
+    }
     const char **rname = NULL;
     int32_t *rname_len = NULL;
     int32_t *run_offs = NULL;
     Scratch s;
     ByteBuf vb = {NULL, 0, 0};
+    ByteBuf pb = {NULL, 0, 0};
     I32Buf rb = {NULL, 0, 0};
     memset(&s, 0, sizeof(s));
     int failed = 0;
 
-    if (want_verbose) {
+    if (want_paf && read_names == Py_None) {
+        PyErr_SetString(PyExc_TypeError, "PAF mode requires read_names");
+        goto done;
+    }
+    if (want_verbose || want_paf) {
         if (!PyList_Check(read_names) ||
             PyList_GET_SIZE(read_names) != n_reads) {
             PyErr_SetString(PyExc_TypeError,
@@ -569,6 +806,11 @@ static PyObject *Chainer_chain_batch(ChainerObject *self, PyObject *args)
                            s.final_runs, s.final_idx, cpos + o, rpos + o,
                            sbits + o) < 0)
             failed = 1;
+        if (want_paf && n_final > 0 && !failed &&
+            render_paf(self, &pb, rname[i], rname_len[i], rlens[i], k,
+                       n_final, s.final_runs, s.final_idx, cpos + o, rpos + o,
+                       sbits + o, &s) < 0)
+            failed = 1;
     }
     Py_END_ALLOW_THREADS
 
@@ -588,21 +830,31 @@ static PyObject *Chainer_chain_batch(ChainerObject *self, PyObject *args)
             verbose = Py_None;
             Py_INCREF(Py_None);
         }
-        if (!runs_b || !offs_b || !verbose) {
+        PyObject *paf;
+        if (want_paf)
+            paf = PyBytes_FromStringAndSize(pb.buf, pb.len);
+        else {
+            paf = Py_None;
+            Py_INCREF(Py_None);
+        }
+        if (!runs_b || !offs_b || !verbose || !paf) {
             Py_XDECREF(runs_b);
             Py_XDECREF(offs_b);
             Py_XDECREF(verbose);
+            Py_XDECREF(paf);
             goto done;
         }
-        result = PyTuple_Pack(3, runs_b, offs_b, verbose);
+        result = PyTuple_Pack(4, runs_b, offs_b, verbose, paf);
         Py_DECREF(runs_b);
         Py_DECREF(offs_b);
         Py_DECREF(verbose);
+        Py_DECREF(paf);
     }
 
 done:
     scratch_free(&s);
     free(vb.buf);
+    free(pb.buf);
     free(rb.buf);
     PyMem_Free(run_offs);
     PyMem_Free(rname);
@@ -622,8 +874,8 @@ static PyMethodDef Chainer_methods[] = {
      "read_name) -> (runs, verbose_bytes|None)"},
     {"chain_batch", (PyCFunction)Chainer_chain_batch, METH_VARARGS,
      "chain_batch(cids, cpos, rpos, sbits, offsets, read_lens, read_names, "
-     "k, z, sensitive, x) -> (runs_bytes, run_offsets_bytes, "
-     "verbose_bytes|None)"},
+     "k, z, sensitive, x[, mode]) -> (runs_bytes, run_offsets_bytes, "
+     "verbose_bytes|None, paf_bytes|None); mode bit0=verbose bit1=paf"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -124,12 +124,37 @@ def _write_verbose(fh, name, runs) -> None:
 CHAIN_GROUP = 8192
 
 
-def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh):
+def _repeat_filter_batch(np, offs, arrays, hi, lo):
+    """Vectorized per-read repeat filter: drop every anchor whose 64-bit
+    hash occurs more than once within its read's matched anchors
+    (reference ntlink_pair.py:368-374). Returns (new_offs, new_arrays)."""
+    total = int(offs[-1])
+    n_g = len(offs) - 1
+    rid = np.repeat(np.arange(n_g, dtype=np.int64), np.diff(offs))
+    order = np.lexsort((lo, hi, rid))
+    sh, sl, sr = hi[order], lo[order], rid[order]
+    same_prev = np.zeros(total, bool)
+    same_prev[1:] = (sr[1:] == sr[:-1]) & (sh[1:] == sh[:-1]) & (
+        sl[1:] == sl[:-1]
+    )
+    dup_sorted = same_prev.copy()
+    dup_sorted[:-1] |= same_prev[1:]
+    keep = np.empty(total, bool)
+    keep[order] = ~dup_sorted
+    new_offs = np.zeros(n_g + 1, np.int64)
+    np.cumsum(np.bincount(rid[keep], minlength=n_g), out=new_offs[1:])
+    return new_offs, [a[keep] for a in arrays]
+
+
+def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh,
+                      paf_fh):
     """Hot loop: device batches + one C chain_batch call per read group.
 
     Zero per-anchor Python anywhere; per-read Python is one list append.
     Only reads producing >= 2 accepted runs surface as Python objects (the
     pair tally is a no-op below that; reference ntlink_pair.py:416-435).
+    Verbose/PAF rendering and the repeat filter all run batch-level (C /
+    NumPy), so paf=True and repeats=True stay on this path.
     """
     import numpy as np
 
@@ -141,6 +166,7 @@ def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh):
     g_names: list = []
     g_lens: list = []
     g_raw: list = []
+    mode = (1 if verbose_fh else 0) | (2 if paf_fh else 0)
 
     def flush_group() -> None:
         if not g_names:
@@ -154,6 +180,9 @@ def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh):
         cpos = np.empty(total, np.int32)
         rpos = np.empty(total, np.int32)
         sbits = np.empty(total, np.int32)
+        if cfg.repeats:
+            hi = np.empty(total, np.int32)
+            lo = np.empty(total, np.int32)
         for i, raw in enumerate(g_raw):
             if raw is None:
                 continue
@@ -162,14 +191,25 @@ def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh):
             cid[o : o + n] = raw[2]
             cpos[o : o + n] = raw[3]
             sbits[o : o + n] = raw[4]
+            if cfg.repeats:
+                hi[o : o + n] = raw[5]
+                lo[o : o + n] = raw[6]
+        if cfg.repeats and total:
+            offs, (cid, cpos, rpos, sbits) = _repeat_filter_batch(
+                np, offs, (cid, cpos, rpos, sbits), hi, lo
+            )
         rlens = np.asarray(g_lens, np.int32)
-        runs_b, ro_b, vbytes = chainer.chain_batch(
-            cid, cpos, rpos, sbits, offs, rlens,
-            g_names if verbose_fh else None,
-            cfg.k, cfg.z, 1 if cfg.sensitive else 0, float(cfg.x),
+        runs_b, ro_b, vbytes, pbytes = chainer.chain_batch(
+            np.ascontiguousarray(cid), np.ascontiguousarray(cpos),
+            np.ascontiguousarray(rpos), np.ascontiguousarray(sbits),
+            offs, rlens,
+            g_names if mode else None,
+            cfg.k, cfg.z, 1 if cfg.sensitive else 0, float(cfg.x), mode,
         )
         if verbose_fh and vbytes:
             verbose_fh.write(vbytes)
+        if paf_fh and pbytes:
+            paf_fh.write(pbytes)
         runs_arr = np.frombuffer(runs_b, np.int32).reshape(-1, 8)
         ro = np.frombuffer(ro_b, np.int32)
         for i in np.nonzero(np.diff(ro) >= 2)[0]:
@@ -244,7 +284,7 @@ def _map_reads_generic(cfg, mapper, index, tally, contig_lengths,
                 _write_verbose(verbose_fh, name, runs)
             if paf_fh:
                 for line in paf_lines(runs, name, read_len, contig_lengths, cfg.k):
-                    paf_fh.write(line + "\n")
+                    paf_fh.write((line + "\n").encode())
             tally.add_read(runs, read_len)
     return n_reads
 
@@ -261,27 +301,29 @@ def map_reads(
     """Stream read files through sketch → match → chain → tally.
 
     The sketch+match hot loop runs on-device in batches when a JAX backend is
-    available (device_map.DeviceMapper), with chaining + verbose rendering in
-    native C; PAF/repeat modes and the NumPy backend take the general object
-    path. All paths preserve the reference's exact order-sensitive semantics.
+    available (device_map.DeviceMapper), with chaining + verbose/PAF
+    rendering in native C and the repeat filter vectorized in NumPy; only
+    the NumPy backend (or a failed C build) takes the general object path.
+    All paths preserve the reference's exact order-sensitive semantics.
     Pass `tally`/`mapper` to accumulate across calls (per-file multi-host
     sharding) without rebuilding the device index.
     """
     if tally is None:
         tally = PairTally(contig_lengths, cfg.k, cfg.f)
     verbose_fh = open(verbose_path, "wb") if verbose_path else None
-    paf_fh = open(paf_path, "w") if paf_path else None
+    paf_fh = open(paf_path, "wb") if paf_path else None
 
     if mapper is None:
         mapper = _make_device_mapper(cfg, index)
     chainer = None
-    if mapper is not None and not cfg.paf and not cfg.repeats:
+    if mapper is not None:
         chainer = _make_native_chainer(mapper, contig_lengths)
 
     try:
         if chainer is not None:
             n_reads = _map_reads_native(
-                cfg, mapper, chainer, tally, contig_lengths, verbose_fh
+                cfg, mapper, chainer, tally, contig_lengths, verbose_fh,
+                paf_fh
             )
         else:
             n_reads = _map_reads_generic(

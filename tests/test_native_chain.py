@@ -85,7 +85,7 @@ def test_chain_batch_matches_per_read(sensitive):
         offs[i + 1] = offs[i] + len(cid)
     cat = lambda j: np.concatenate([p[j] for p in per_read]).astype(np.int32)
     rnames = [f"read{i}" for i in range(n_reads)]
-    runs_b, ro_b, vbytes = chainer.chain_batch(
+    runs_b, ro_b, vbytes, _paf = chainer.chain_batch(
         cat(0), cat(1), cat(2), cat(3), offs,
         np.asarray(read_lens, np.int32), rnames,
         32, 1000, 1 if sensitive else 0, 0.5,

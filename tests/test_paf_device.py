@@ -30,6 +30,36 @@ def test_paf_device_backend(tmp_path, monkeypatch):
     )
 
 
+def test_repeats_device_backend(tmp_path, monkeypatch):
+    """repeats=True through the native batch path (vectorized repeat filter
+    + C chaining) == the NumPy per-hit reference path, byte for byte."""
+    for backend in ("numpy", "jax"):
+        d = tmp_path / backend
+        d.mkdir()
+        for f in ("scaffolds_2.fa", "long_reads_2.fq.gz"):
+            shutil.copy(os.path.join(REF_TESTS_DIR, f), d / f)
+        monkeypatch.chdir(d)
+        cfg = ScaffoldConfig(
+            target="scaffolds_2.fa", reads=["long_reads_2.fq.gz"], k=32,
+            w=100, z=1000, repeats=True, paf=True, pairs_tsv=True,
+            backend=backend,
+        )
+        pair_stage(cfg)
+        monkeypatch.chdir(tmp_path)
+    prefix = "scaffolds_2.fa.k32.w100.z1000"
+    for artifact in (
+        f"{prefix}.verbose_mapping.tsv",
+        f"{prefix}.paf",
+        f"{prefix}.pairs.tsv",
+        f"{prefix}.n1.scaffold.dot",
+    ):
+        assert filecmp.cmp(
+            tmp_path / "numpy" / artifact,
+            tmp_path / "jax" / artifact,
+            shallow=False,
+        ), artifact
+
+
 def test_explicit_checkpoint(tmp_path, monkeypatch):
     for f in ("scaffolds_1.fa", "long_reads_1.fa"):
         shutil.copy(os.path.join(REF_TESTS_DIR, f), tmp_path / f)
