@@ -185,15 +185,19 @@ def _kernel_bench():
         "pallas",
     )
 
-    # equality of the compiled kernels on hardware (one plain dispatch each)
+    # equality of the compiled kernels on hardware (one plain dispatch
+    # each); hash/strand planes are full-width with garbage past L-k+1
+    # (different between the two lowerings), so compare valid columns only
     f_xla = jax.jit(lambda c, l: sketch_batch_kernel(c, l, K, W))
     f_pal = jax.jit(
         lambda c, l: sketch_batch_pallas(c.astype(jnp.int32), l, K, W)
     )
     r_xla = f_xla(codes, lengths)
     r_pal = f_pal(codes, lengths)
+    M = L - K + 1
     same = all(
-        bool(jnp.array_equal(a, b)) for a, b in zip(r_xla, r_pal)
+        bool(jnp.array_equal(a[:, :M], b[:, :M]))
+        for a, b in zip(r_xla, r_pal)
     )
     out["pallas_equals_xla_on_hw"] = same
     assert same, "compiled Pallas kernel diverged from XLA on hardware"

@@ -1,15 +1,22 @@
 """JAX device backend for minimizer sketching.
 
 TPUs have no native 64-bit integer datapath, so every 64-bit hash lives as a
-uint32 (hi, lo) pair; the ntHash2 srol powers are precomputed host-side into
-(k, 5) uint32 tables (see ops.nthash_np), making the device kernel pure
-gather + XOR + carry arithmetic on the VPU:
+uint32 (hi, lo) pair, and the kernel is pure XOR/shift/carry arithmetic on
+the VPU:
 
-    fh/rh:    k table-gathers + XORs per k-mer position (unrolled, static k)
-    canon:    64-bit add with carry
-    out:      64-bit multiply by a constant via 16-bit limbs, xorshift
-    win-min:  O(log w) log-doubling sliding minimum over the lexicographic
-              key (valid, hi, lo, position), leftmost tie-break
+    fh/rh:    log-doubling sliding XOR — with F_s(i) the width-s forward
+              ntHash, F_2s(i) = srol^s(F_s(i)) ^ F_s(i+s) (mirrored for the
+              reverse-complement hash), so a width-k hash costs O(log k)
+              whole-row ops; srol powers are constant split-rotations on
+              unpacked (hi31, bit32, lo32) planes (tiny-table gathers are
+              poison on the VPU — the width-1 base is a 3-deep select)
+    canon:    64-bit add with carry — returned as the hash planes; the
+              reported hash is a bijection of it (`finish_hash`: 64-bit
+              constant multiply + xorshift) applied by consumers AFTER
+              minimizer compaction, on O(minimizers) elements
+    win-min:  O(log w) log-doubling sliding minimum over the (valid, hi, lo)
+              key; leftmost tie-break falls out of keep-left-on-ties because
+              every combine merges a left range with a right range
     dedup:    consecutive-winner mask
 
 Batches are (B, L) uint8 code tensors padded with 4 (= invalid base); padding
@@ -89,13 +96,23 @@ def mul64_const(hi: jnp.ndarray, lo: jnp.ndarray, limbs: np.ndarray):
     return new_hi, new_lo
 
 
-def _lex_lt(a_hi, a_lo, a_idx, b_hi, b_lo, b_idx):
-    """(hi, lo, idx) lexicographic strictly-less (uint32 lanes)."""
-    return (
-        (a_hi < b_hi)
-        | ((a_hi == b_hi) & (a_lo < b_lo))
-        | ((a_hi == b_hi) & (a_lo == b_lo) & (a_idx < b_idx))
-    )
+def finish_hash(can_hi, can_lo, k: int):
+    """Canonical -> reported hash (ntHash second multi-hash): a 64-bit
+    constant multiply + xorshift, both bijections mod 2^64. Applied by
+    consumers after minimizer compaction, so it costs O(minimizers)."""
+    t_hi, t_lo = mul64_const(can_hi, can_lo, _mult_limbs(k))
+    sh = MULTISHIFT
+    out_hi = t_hi ^ (t_hi >> sh)
+    out_lo = t_lo ^ ((t_lo >> sh) | (t_hi << (32 - sh)))
+    return out_hi, out_lo
+
+
+def _lex_lt2(a_hi, a_lo, b_hi, b_lo):
+    """(hi, lo) strictly-less (uint32 lanes). For the sliding argmin this
+    is enough for leftmost tie-break: every combine compares a left-range
+    minimum (kept on ties) with a right-range minimum, and the leftmost
+    index of a tied value always lives in the left range."""
+    return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
 
 
 def _shift_left(arr, o, fill):
@@ -105,72 +122,177 @@ def _shift_left(arr, o, fill):
     )
 
 
+_M31 = 0x7FFFFFFF
+
+
+def _shl(x, n: int):
+    """x << n for a Python-constant n in [0, 32] (no UB at the edges)."""
+    if n == 0:
+        return x
+    if n >= 32:
+        return jnp.zeros_like(x)
+    return x << n
+
+
+def _shr(x, n: int):
+    if n == 0:
+        return x
+    if n >= 32:
+        return jnp.zeros_like(x)
+    return x >> n
+
+
+def srol_planes(h31, b32, lo, d: int):
+    """Apply srol^d (ntHash2 split rotation: an independently rotating
+    31-bit field [bits 33..63] and 33-bit field [bits 0..32]) to the
+    unpacked (hi31, bit32, lo32) uint32 planes. d is a Python constant, so
+    every shift amount is static (nthash_np.srol is the scalar spec)."""
+    a, b = d % 31, d % 33
+    if a:
+        h31 = ((h31 << a) | (h31 >> (31 - a))) & jnp.uint32(_M31)
+    if b:
+        # 33-bit field f = b32*2^32 + lo; rot33(f, b) =
+        #   ((f << b) | (f >> (33-b))) mod 2^33, as disjoint 32-bit parts
+        new_b32 = _shr(lo, 32 - b) & jnp.uint32(1)
+        lo = _shl(lo, b) | _shr(lo, 33 - b) | _shl(b32, b - 1)
+        b32 = new_b32
+    return h31, b32, lo
+
+
+def select4(code, vals):
+    """Map base codes (0..3) to four scalar constants (3-deep select)."""
+    c0, c1, c2, c3 = (jnp.uint32(int(v) & 0xFFFFFFFF) for v in vals)
+    return jnp.where(
+        code == 0, c0, jnp.where(code == 1, c1, jnp.where(code == 2, c2, c3))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def seed_planes():
+    """Forward / reverse-complement seeds as (hi31, bit32, lo32) plane
+    constants, indexed [plane][base_code]."""
+    S = [int(v) for v in nthash_np.SEEDS]
+
+    def planes(vals):
+        return (
+            [(v >> 33) & _M31 for v in vals],
+            [(v >> 32) & 1 for v in vals],
+            [v & 0xFFFFFFFF for v in vals],
+        )
+
+    return planes(S), planes(S[::-1])
+
+
+def sliding_hashes(codes, k: int, shift):
+    """All-position forward/reverse ntHash2 values via log doubling.
+
+    `shift(plane, o)` moves lane i+o into lane i (any tail semantics —
+    positions > L-k receive garbage either way and must be masked by the
+    caller). Returns (fh_hi, fh_lo, rh_hi, rh_lo) uint32 planes.
+
+    Identities (F = forward width-s hash, R = reverse):
+      F_{2s}(i) = srol^s(F_s(i)) ^ F_s(i+s)
+      R_{2s}(i) = R_s(i) ^ srol^s(R_s(i+s))
+    and for k = sum of powers 2^b (ascending), right-anchored accumulation
+      G_{n+p}(i) = srol^n(F_p(i + k-n-p)) ^ G_n(i)
+      H_{n+p}(i) = R_p(i + k-n-p) ^ srol^p(H_n(i))
+    folds each power stream the moment it exists — no stream storage.
+    """
+    f_seeds, r_seeds = seed_planes()
+    Fs = [select4(codes, f_seeds[p]) for p in range(3)]
+    Rs = [select4(codes, r_seeds[p]) for p in range(3)]
+    bits = [1 << b for b in range(32) if (k >> b) & 1]
+
+    s = 1
+    done = 0
+    accF = accR = None
+    for bit in bits:
+        while s < bit:
+            rf = [shift(p, s) for p in Fs]
+            sf = srol_planes(*Fs, s)
+            Fs = [a ^ b for a, b in zip(sf, rf)]
+            rr = [shift(p, s) for p in Rs]
+            sr = srol_planes(*rr, s)
+            Rs = [a ^ b for a, b in zip(Rs, sr)]
+            s *= 2
+        sh = k - done - s
+        termF = [shift(p, sh) for p in Fs] if sh else Fs
+        if done:
+            termF = srol_planes(*termF, done)
+        accF = termF if accF is None else [
+            a ^ b for a, b in zip(accF, termF)
+        ]
+        termR = [shift(p, sh) for p in Rs] if sh else Rs
+        if accR is None:
+            accR = termR
+        else:
+            accR = [
+                a ^ b for a, b in zip(termR, srol_planes(*accR, bit))
+            ]
+        done += s
+
+    fh_hi = (accF[0] << 1) | accF[1]
+    rh_hi = (accR[0] << 1) | accR[1]
+    return fh_hi, accF[2], rh_hi, accR[2]
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
     """Sketch a (B, L) uint8 code batch. Returns per-position hash data and
     per-window winners:
 
-      out_hi/out_lo: (B, M) reported hash halves
-      fwd:           (B, M) strand flags (fh <= rh)
+      can_hi/can_lo: (B, L) canonical hash halves (apply `finish_hash`
+                     after compaction for the reported hash); only columns
+                     [0, L-k+1) are meaningful — consumers gather at winner
+                     positions, which always fall in that range. (Returning
+                     the full row dodges an XLA-CPU pathology where sliced
+                     outputs re-fuse and recompute the whole producer chain.)
+      fwd:           (B, L) strand flags (fh <= rh), same column scope
       winner:        (B, NW) leftmost argmin position of each window
       emit:          (B, NW) mask: winner differs from previous window's
     """
     B, L = codes.shape
     M = L - k + 1
-    f_hi_t, f_lo_t, r_hi_t, r_lo_t = _tables_u32(k)
-    f_hi_t, f_lo_t = jnp.asarray(f_hi_t), jnp.asarray(f_lo_t)
-    r_hi_t, r_lo_t = jnp.asarray(r_hi_t), jnp.asarray(r_lo_t)
 
     codes_i = codes.astype(jnp.int32)
+    shift = lambda p, o: _shift_left(p, o, 0)
+    fh_hi, fh_lo, rh_hi, rh_lo = sliding_hashes(codes_i, k, shift)
 
-    def hash_body(j, acc):
-        fh_hi, fh_lo, rh_hi, rh_lo, invalid = acc
-        win = jax.lax.dynamic_slice_in_dim(codes_i, j, M, axis=1)
-        return (
-            fh_hi ^ f_hi_t[j][win],
-            fh_lo ^ f_lo_t[j][win],
-            rh_hi ^ r_hi_t[j][win],
-            rh_lo ^ r_lo_t[j][win],
-            invalid | (win > 3),
-        )
-
-    zeros = jnp.zeros((B, M), jnp.uint32)
-    fh_hi, fh_lo, rh_hi, rh_lo, invalid = jax.lax.fori_loop(
-        0, k, hash_body,
-        (zeros, zeros, zeros, zeros, jnp.zeros((B, M), jnp.bool_)),
-    )
+    # k-mers containing non-ACGT codes: sliding OR of the bad-base mask
+    bad = (codes_i > 3).astype(jnp.int32)
+    span_n = 1
+    while span_n < k:
+        o = min(span_n, k - span_n)
+        bad = bad | _shift_left(bad, o, 0)
+        span_n += o
+    invalid_n = bad.astype(jnp.bool_)
 
     # canonical = fh + rh (mod 2^64)
     can_lo = fh_lo + rh_lo
     carry = (can_lo < fh_lo).astype(jnp.uint32)
     can_hi = fh_hi + rh_hi + carry
 
-    # reported hash: second multi-hash
-    t_hi, t_lo = mul64_const(can_hi, can_lo, _mult_limbs(k))
-    sh = MULTISHIFT
-    out_hi = t_hi ^ (t_hi >> sh)
-    out_lo = t_lo ^ ((t_lo >> sh) | (t_hi << (32 - sh)))
-
     fwd = (fh_hi < rh_hi) | ((fh_hi == rh_hi) & (fh_lo <= rh_lo))
 
-    # mask out k-mers beyond each sequence's end
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
-    invalid = invalid | (pos > (lengths - k)[:, None])
+    # mask out k-mers beyond each sequence's end (also covers the garbage
+    # the doubling shifts leave at positions > L-k)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    invalid = invalid_n | (pos > (lengths - k)[:, None])
 
     FULL = jnp.uint32(0xFFFFFFFF)
     key_hi = jnp.where(invalid, FULL, can_hi)
     key_lo = jnp.where(invalid, FULL, can_lo)
 
-    # sliding leftmost-argmin via log-doubling over (key, idx)
-    m_hi, m_lo, m_idx = key_hi, key_lo, pos
+    # sliding leftmost-argmin via log-doubling (keep-left on ties)
+    m_hi, m_lo = key_hi, key_lo
+    m_idx = pos
     span = 1
     while span * 2 <= w:
         o = span
         s_hi = _shift_left(m_hi, o, 0xFFFFFFFF)
         s_lo = _shift_left(m_lo, o, 0xFFFFFFFF)
         s_idx = _shift_left(m_idx, o, jnp.iinfo(jnp.int32).max)
-        take = _lex_lt(s_hi, s_lo, s_idx.astype(jnp.uint32),
-                       m_hi, m_lo, m_idx.astype(jnp.uint32))
+        take = _lex_lt2(s_hi, s_lo, m_hi, m_lo)
         m_hi = jnp.where(take, s_hi, m_hi)
         m_lo = jnp.where(take, s_lo, m_lo)
         m_idx = jnp.where(take, s_idx, m_idx)
@@ -183,8 +305,7 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
         m_lo[:, o : o + NW],
         m_idx[:, o : o + NW],
     )
-    take = _lex_lt(b_hi, b_lo, b_idx.astype(jnp.uint32),
-                   a_hi, a_lo, a_idx.astype(jnp.uint32))
+    take = _lex_lt2(b_hi, b_lo, a_hi, a_lo)
     winner = jnp.where(take, b_idx, a_idx)
     win_valid = jnp.where(take, b_hi, a_hi) != FULL
 
@@ -195,7 +316,7 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
     n_win = jnp.maximum(lengths - k + 1 - w + 1, 0)
     wpos = jax.lax.broadcasted_iota(jnp.int32, (B, NW), 1)
     emit = (winner != prev) & (wpos < n_win[:, None]) & win_valid
-    return out_hi, out_lo, fwd, winner, emit
+    return can_hi, can_lo, fwd, winner, emit
 
 
 def _trim_width(mc: int) -> int:

@@ -1,15 +1,25 @@
 """Pallas TPU kernel: fused ntHash2 sketch + sliding window minimum.
 
-One kernel fuses everything sketch_batch_kernel (ops/sketch_jax.py) expresses
-as ~40 XLA ops: per-position forward/reverse hashes (uint32 pairs), canonical
-sum, reported multi-hash, and the log-doubling sliding minimum with leftmost
-tie-break — per grid step an (ROWS, L) row tile lives entirely in VMEM, so
-HBM sees exactly one read of the codes and one write per output.
+One kernel fuses the whole sketch step — per-position forward/reverse hashes
+(uint32 pairs), canonical sum, and the log-doubling sliding minimum with
+leftmost tie-break — per grid step an (ROWS, L) row tile lives entirely in
+VMEM, so HBM sees exactly one read of the codes and one write per output.
 
-Key TPU mappings:
-- the (k, 4) srol seed tables are embedded as scalar literals in select
-  chains (codes have 4 values; gathers are poison on the VPU),
-- lane shifts use pltpu.roll + iota masking (circular roll -> shift),
+Key TPU mappings (shared math lives in ops.sketch_jax):
+- hashes via **log-doubling sliding XOR** (sketch_jax.sliding_hashes):
+  F_2s(i) = srol^s(F_s(i)) ^ F_s(i+s), so a width-k hash costs O(log k)
+  whole-row ops instead of an O(k) seed-select loop; srol powers are
+  constant split-rotations on unpacked (hi31, bit32, lo32) planes,
+- the kernel returns **canonical** hash planes; the reported hash
+  (constant 64-bit multiply + xorshift, a bijection) is applied by
+  consumers after minimizer compaction on O(minimizers) elements
+  (sketch_jax.finish_hash),
+- lane shifts are raw circular pltpu.roll calls with **no fill masking**:
+  wrapped values only ever pollute positions > L-k (hash) and >= L-w+1
+  (window minimum), both strictly beyond the consumed/valid output regions,
+- the sliding argmin needs no index tie-break comparisons: every combine
+  merges a left range with a right range, so keep-left-on-ties IS the
+  leftmost rule,
 - everything is uint32/int32; no 64-bit integers exist on the datapath.
 
 Scope: N-free rows (the production packed path guarantees this; N-containing
@@ -20,89 +30,30 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sketch_jax import MULTISHIFT, _mult_limbs, _tables_u32
+from .sketch_jax import _lex_lt2, sliding_hashes
 
 ROWS = 8  # row tile (sublane dimension)
 
 
-def _shift_left(x, o, fill, lane_idx, L):
-    """x[..., i] <- x[..., i+o], tail filled (via circular roll + mask).
-
-    pltpu.roll only rolls right (non-negative shift): left-by-o == right-by-
-    (L-o) on a circular buffer."""
-    rolled = pltpu.roll(x, L - o, 1)
-    return jnp.where(lane_idx >= L - o, jnp.full_like(x, fill), rolled)
-
-
-def _lex_lt(a_hi, a_lo, a_idx, b_hi, b_lo, b_idx):
-    return (
-        (a_hi < b_hi)
-        | ((a_hi == b_hi) & (a_lo < b_lo))
-        | ((a_hi == b_hi) & (a_lo == b_lo) & (a_idx < b_idx))
-    )
-
-
-def _select_seed(code, row):
-    """Map base codes (0..3) to the four scalar seeds of one table row."""
-    c0, c1, c2, c3 = (jnp.uint32(int(v)) for v in row[:4])
-    return jnp.where(
-        code == 0, c0, jnp.where(code == 1, c1, jnp.where(code == 2, c2, c3))
-    )
-
-
 def _make_kernel(k: int, w: int, L: int):
-    f_hi_t, f_lo_t, r_hi_t, r_lo_t = _tables_u32(k)
-    limbs = [int(x) for x in _mult_limbs(k)]
-
-    def kernel(codes_ref, len_ref, out_hi_ref, out_lo_ref, fwd_ref,
+    def kernel(codes_ref, len_ref, can_hi_ref, can_lo_ref, fwd_ref,
                winner_ref, emit_ref):
         FULL = jnp.uint32(0xFFFFFFFF)
         codes = codes_ref[:, :]                      # (ROWS, L) int32
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, L), 1)
         lengths = len_ref[:, 0:1]                    # (ROWS, 1) int32
 
-        zero = jnp.zeros((ROWS, L), jnp.uint32)
-        fh_hi, fh_lo, rh_hi, rh_lo = zero, zero, zero, zero
-        shifted = codes
-        for j in range(k):
-            if j:
-                shifted = _shift_left(codes, j, 0, lane, L)
-            fh_hi = fh_hi ^ _select_seed(shifted, f_hi_t[j])
-            fh_lo = fh_lo ^ _select_seed(shifted, f_lo_t[j])
-            rh_hi = rh_hi ^ _select_seed(shifted, r_hi_t[j])
-            rh_lo = rh_lo ^ _select_seed(shifted, r_lo_t[j])
+        roll_l = lambda p, o: pltpu.roll(p, L - o, 1) if o else p
+        fh_hi, fh_lo, rh_hi, rh_lo = sliding_hashes(codes, k, roll_l)
 
         can_lo = fh_lo + rh_lo
         carry = (can_lo < fh_lo).astype(jnp.uint32)
         can_hi = fh_hi + rh_hi + carry
-
-        # reported hash: (canonical * const) mod 2^64 via 16-bit limbs
-        a = [can_lo & 0xFFFF, can_lo >> 16, can_hi & 0xFFFF, can_hi >> 16]
-        cols = [jnp.zeros((ROWS, L), jnp.uint32) for _ in range(5)]
-        for i in range(4):
-            for jj in range(4 - i):
-                p = a[i] * jnp.uint32(limbs[jj])
-                c = i + jj
-                cols[c] = cols[c] + (p & 0xFFFF)
-                if c + 1 < 5:
-                    cols[c + 1] = cols[c + 1] + (p >> 16)
-        outv = []
-        carry2 = jnp.zeros((ROWS, L), jnp.uint32)
-        for c in range(4):
-            v = cols[c] + carry2
-            outv.append(v & 0xFFFF)
-            carry2 = v >> 16
-        t_lo = outv[0] | (outv[1] << 16)
-        t_hi = outv[2] | (outv[3] << 16)
-        out_hi = t_hi ^ (t_hi >> MULTISHIFT)
-        out_lo = t_lo ^ ((t_lo >> MULTISHIFT) | (t_hi << (32 - MULTISHIFT)))
 
         fwd = (fh_hi < rh_hi) | ((fh_hi == rh_hi) & (fh_lo <= rh_lo))
 
@@ -110,35 +61,30 @@ def _make_kernel(k: int, w: int, L: int):
         key_hi = jnp.where(invalid, FULL, can_hi)
         key_lo = jnp.where(invalid, FULL, can_lo)
 
-        # log-doubling sliding leftmost-argmin over (key, idx)
+        # log-doubling sliding leftmost-argmin; raw circular rolls —
+        # wrapped values only reach positions >= L-w+1, past the last
+        # consumed window NW-1 = L-k-w+1
         m_hi, m_lo = key_hi, key_lo
         m_idx = lane
-        IMAX = jnp.int32(0x7FFFFFFF)
         span = 1
         while span * 2 <= w:
             o = span
-            s_hi = _shift_left(m_hi, o, FULL, lane, L)
-            s_lo = _shift_left(m_lo, o, FULL, lane, L)
-            s_idx = _shift_left(m_idx, o, IMAX, lane, L)
-            take = _lex_lt(
-                s_hi, s_lo, s_idx.astype(jnp.uint32),
-                m_hi, m_lo, m_idx.astype(jnp.uint32),
-            )
+            s_hi = pltpu.roll(m_hi, L - o, 1)
+            s_lo = pltpu.roll(m_lo, L - o, 1)
+            s_idx = pltpu.roll(m_idx, L - o, 1)
+            take = _lex_lt2(s_hi, s_lo, m_hi, m_lo)
             m_hi = jnp.where(take, s_hi, m_hi)
             m_lo = jnp.where(take, s_lo, m_lo)
             m_idx = jnp.where(take, s_idx, m_idx)
             span *= 2
         o = w - span
         if o:
-            b_hi = _shift_left(m_hi, o, FULL, lane, L)
-            b_lo = _shift_left(m_lo, o, FULL, lane, L)
-            b_idx = _shift_left(m_idx, o, IMAX, lane, L)
+            b_hi = pltpu.roll(m_hi, L - o, 1)
+            b_lo = pltpu.roll(m_lo, L - o, 1)
+            b_idx = pltpu.roll(m_idx, L - o, 1)
         else:
             b_hi, b_lo, b_idx = m_hi, m_lo, m_idx
-        take = _lex_lt(
-            b_hi, b_lo, b_idx.astype(jnp.uint32),
-            m_hi, m_lo, m_idx.astype(jnp.uint32),
-        )
+        take = _lex_lt2(b_hi, b_lo, m_hi, m_lo)
         winner = jnp.where(take, b_idx, m_idx)
         win_hi = jnp.where(take, b_hi, m_hi)
 
@@ -153,8 +99,8 @@ def _make_kernel(k: int, w: int, L: int):
             & (win_hi != FULL)
         )
 
-        out_hi_ref[:, :] = out_hi
-        out_lo_ref[:, :] = out_lo
+        can_hi_ref[:, :] = can_hi
+        can_lo_ref[:, :] = can_lo
         fwd_ref[:, :] = fwd.astype(jnp.int32)
         winner_ref[:, :] = winner
         emit_ref[:, :] = emit.astype(jnp.int32)
@@ -167,8 +113,11 @@ def sketch_batch_pallas(codes, lengths, k: int, w: int, interpret: bool = False)
     """Pallas-fused equivalent of sketch_batch_kernel for N-free batches.
 
     codes: (B, L) int32 base codes (0..3), B % ROWS == 0, L % 128 == 0.
-    Returns (out_hi, out_lo, fwd, winner, emit) with (B, L) layouts; the
-    caller slices columns [0, L-k+1) / [0, L-k+1-w+1) as needed.
+    Returns (can_hi, can_lo, fwd, winner, emit) matching
+    sketch_batch_kernel's contract: hash/strand planes keep the full (B, L)
+    width (columns >= L-k+1 are garbage; consumers gather at winner
+    positions), winner/emit are (B, NW). Apply sketch_jax.finish_hash after
+    compaction for the reported hash.
     """
     B, L = codes.shape
     assert B % ROWS == 0 and L % 128 == 0
@@ -186,7 +135,7 @@ def sketch_batch_pallas(codes, lengths, k: int, w: int, interpret: bool = False)
         jax.ShapeDtypeStruct((B, L), jnp.int32),
         jax.ShapeDtypeStruct((B, L), jnp.int32),
     ]
-    out_hi, out_lo, fwd, winner, emit = pl.pallas_call(
+    can_hi, can_lo, fwd, winner, emit = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[row_spec, len_spec],
@@ -197,9 +146,9 @@ def sketch_batch_pallas(codes, lengths, k: int, w: int, interpret: bool = False)
     M = L - k + 1
     NW = max(M - w + 1, 0)
     return (
-        out_hi[:, :M],
-        out_lo[:, :M],
-        fwd[:, :M].astype(jnp.bool_),
+        can_hi,
+        can_lo,
+        fwd.astype(jnp.bool_),
         winner[:, :NW],
         emit[:, :NW].astype(jnp.bool_),
     )

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.sketch_jax import sketch_batch_kernel
+from ..ops.sketch_jax import finish_hash, sketch_batch_kernel
 
 _FIB = 0x9E3779B1  # 32-bit Fibonacci hashing constant
 
@@ -158,11 +158,11 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
     if use_pallas:
         from ..ops.sketch_pallas import sketch_batch_pallas
 
-        out_hi, out_lo, fwd, winner, emit = sketch_batch_pallas(
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas(
             codes, lengths, k, w, False
         )
     else:
-        out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
             codes, lengths, k, w
         )
 
@@ -171,8 +171,10 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
     sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_anchors]
     sel_ok = jnp.take_along_axis(emit, sel, axis=1)
     m_pos = jnp.take_along_axis(winner, sel, axis=1)
-    q_hi = jnp.take_along_axis(out_hi, jnp.maximum(m_pos, 0), axis=1)
-    q_lo = jnp.take_along_axis(out_lo, jnp.maximum(m_pos, 0), axis=1)
+    q_hi = jnp.take_along_axis(can_hi, jnp.maximum(m_pos, 0), axis=1)
+    q_lo = jnp.take_along_axis(can_lo, jnp.maximum(m_pos, 0), axis=1)
+    # reported hash on the compacted set only (the kernels return canonical)
+    q_hi, q_lo = finish_hash(q_hi, q_lo, k)
     m_fwd = jnp.take_along_axis(fwd, jnp.maximum(m_pos, 0), axis=1)
 
     found, cid, cpos, cstrand = hash_table_join(
@@ -217,11 +219,12 @@ def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int):
     sketching at scale.
     """
     codes = unpack_codes(packed, L)
-    out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
+    can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
     sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_mins]
     sel_ok = jnp.take_along_axis(emit, sel, axis=1)
     m_pos = jnp.take_along_axis(winner, sel, axis=1)
     gather = lambda a: jnp.take_along_axis(a, jnp.maximum(m_pos, 0), axis=1)
+    out_hi, out_lo = finish_hash(gather(can_hi), gather(can_lo), k)
     # strand rides in bit 30 of the position word (positions < 2^21)
     pos_strand = m_pos | (gather(fwd).astype(jnp.int32) << 30)
     count = jnp.minimum(emit.sum(axis=1), max_mins).astype(jnp.int32)
@@ -230,8 +233,8 @@ def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int):
     flat = jnp.stack(
         [
             takef(pos_strand),
-            takef(gather(out_hi).astype(jnp.int32)),
-            takef(gather(out_lo).astype(jnp.int32)),
+            takef(out_hi.astype(jnp.int32)),
+            takef(out_lo.astype(jnp.int32)),
         ],
         axis=0,
     )
@@ -249,9 +252,10 @@ def mapping_step(codes, lengths, idx_hi, idx_lo, idx_cid, idx_pos, idx_strand,
 
     Used by the graft entry; production path is mapping_step_packed.
     """
-    out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
-    w_hi = jnp.take_along_axis(out_hi, winner, axis=1)
-    w_lo = jnp.take_along_axis(out_lo, winner, axis=1)
+    can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
+    w_hi = jnp.take_along_axis(can_hi, winner, axis=1)
+    w_lo = jnp.take_along_axis(can_lo, winner, axis=1)
+    w_hi, w_lo = finish_hash(w_hi, w_lo, k)
     pos, found = lex_binary_search(idx_hi, idx_lo, w_hi, w_lo, idx_hi.shape[0])
     found = found & emit
     return {

@@ -39,7 +39,7 @@ except ImportError:  # pragma: no cover - older jax
     _CHECK_KW = {"check_rep": False}
 
 from .mesh import _FIB, unpack_codes
-from ..ops.sketch_jax import sketch_batch_kernel
+from ..ops.sketch_jax import finish_hash, sketch_batch_kernel
 
 
 class ShardedDeviceIndex:
@@ -173,14 +173,15 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
         # per-rank table block has a leading shard dim of 1
         t_hi, t_lo = t_hi[0], t_lo[0]
         t_cid, t_pos, t_strand = t_cid[0], t_pos[0], t_strand[0]
-        out_hi, out_lo, fwd, winner, emit = sketch_batch_kernel(
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
             codes, lengths, k, w
         )
         sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_anchors]
         sel_ok = jnp.take_along_axis(emit, sel, axis=1)
         m_pos = jnp.take_along_axis(winner, sel, axis=1)
-        q_hi = jnp.take_along_axis(out_hi, jnp.maximum(m_pos, 0), axis=1)
-        q_lo = jnp.take_along_axis(out_lo, jnp.maximum(m_pos, 0), axis=1)
+        q_hi = jnp.take_along_axis(can_hi, jnp.maximum(m_pos, 0), axis=1)
+        q_lo = jnp.take_along_axis(can_lo, jnp.maximum(m_pos, 0), axis=1)
+        q_hi, q_lo = finish_hash(q_hi, q_lo, k)
         m_fwd = jnp.take_along_axis(fwd, jnp.maximum(m_pos, 0), axis=1)
 
         found, cid, cpos, cstrand = local_probe(

@@ -3,19 +3,23 @@ import numpy as np
 import pytest
 
 from ntlink_tpu.ops import nthash_np
+from ntlink_tpu.ops.sketch_jax import finish_hash
 from ntlink_tpu.ops.sketch_pallas import ROWS, sketch_batch_pallas
 
 
-@pytest.mark.parametrize("k,w", [(32, 100), (20, 10), (15, 5)])
+@pytest.mark.parametrize(
+    "k,w", [(32, 100), (20, 10), (15, 5), (40, 100), (24, 250), (17, 8)]
+)
 def test_pallas_matches_numpy(k, w):
     rng = np.random.default_rng(k + w)
     B, L = ROWS, 2048
     codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
     lengths = rng.integers(L // 2, L + 1, size=B).astype(np.int32)
-    out_hi, out_lo, fwd, winner, emit = [
+    can_hi, can_lo, fwd, winner, emit = [
         np.asarray(o)
         for o in sketch_batch_pallas(codes, lengths, k, w, True)
     ]
+    out_hi, out_lo = (np.asarray(o) for o in finish_hash(can_hi, can_lo, k))
     out = (out_hi.astype(np.uint64) << np.uint64(32)) | out_lo.astype(np.uint64)
     for r in range(B):
         ref = nthash_np.sketch_codes(codes[r, : lengths[r]], k, w)
