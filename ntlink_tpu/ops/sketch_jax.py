@@ -44,19 +44,6 @@ MULTISHIFT = 27
 
 
 @functools.lru_cache(maxsize=None)
-def _tables_u32(k: int):
-    """srol tables as uint32 (hi, lo) pairs, shape (k, 5) each."""
-    fwd, rev = nthash_np.srol_tables(k)
-    split = lambda t: (
-        (t >> np.uint64(32)).astype(np.uint32),
-        (t & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-    )
-    f_hi, f_lo = split(fwd)
-    r_hi, r_lo = split(rev)
-    return f_hi, f_lo, r_hi, r_lo
-
-
-@functools.lru_cache(maxsize=None)
 def _mult_limbs(k: int) -> np.ndarray:
     """Out-hash multiplier decomposed into 4 uint32-held 16-bit limbs."""
     m = int(nthash_np.out_hash_multiplier(k))
