@@ -325,9 +325,11 @@ def _sketch_step():
     configure()
     from ..parallel.mesh import sketch_step_packed
 
-    @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-    def step(packed, lengths, k, w, L, max_mins):
-        return sketch_step_packed(packed, lengths, k, w, L, max_mins)
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+    def step(packed, lengths, k, w, L, max_mins, use_pallas):
+        return sketch_step_packed(
+            packed, lengths, k, w, L, max_mins, use_pallas=use_pallas
+        )
 
     return step
 
@@ -412,9 +414,18 @@ class JaxSketcher:
                 for row, c in enumerate(row_codes):
                     codes[row, : len(c)] = c
                 packed = pack_codes(codes)
+            # fused Pallas sketch core on real TPU; XLA elsewhere. Same
+            # VMEM gate as the mapping step: the kernel holds (8, L) row
+            # tiles, OOMs past L=16384 on v5e.
+            use_pallas = (
+                jax.default_backend() not in ("cpu",)
+                and pad % 128 == 0
+                and pad <= 16384
+                and B % 8 == 0
+            )
             out = step(
                 jnp.asarray(packed), jnp.asarray(lengths), k, w, pad,
-                self._slots_for(pad, w),
+                self._slots_for(pad, w), use_pallas,
             )
             # async copies at dispatch: metadata plus an adaptively capped
             # minimizer prefix stream while the host packs the next batch

@@ -210,16 +210,27 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
     }
 
 
-def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int):
+def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int,
+                       use_pallas: bool = False):
     """Sketch-only fused step: unpack -> hash -> window-min -> global
     compaction (same output contract as the mapping step: `meta` =
     [counts | n_minimizers] and `flat` = (3, B*S) int32 planes
     [position+strand, hash_hi, hash_lo] packed front in row order).
     Transfers are O(minimizers); powers the indexlr-equivalent contig TSV
-    sketching at scale.
+    sketching at scale. `use_pallas` selects the fused Pallas sketch core
+    (TPU only, same gating as the mapping step).
     """
     codes = unpack_codes(packed, L)
-    can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(codes, lengths, k, w)
+    if use_pallas:
+        from ..ops.sketch_pallas import sketch_batch_pallas
+
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas(
+            codes, lengths, k, w, False
+        )
+    else:
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
+            codes, lengths, k, w
+        )
     sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_mins]
     sel_ok = jnp.take_along_axis(emit, sel, axis=1)
     m_pos = jnp.take_along_axis(winner, sel, axis=1)
