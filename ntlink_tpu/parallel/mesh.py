@@ -134,10 +134,17 @@ def hash_table_join(t_hi, t_lo, t_cid, t_pos, t_strand, q_hi, q_lo,
 
 
 def unpack_codes(packed: jnp.ndarray, L: int) -> jnp.ndarray:
-    """(B, L//4) 2-bit-packed uint8 -> (B, L) base codes 0..3."""
+    """(B, L//4) 2-bit-packed uint8 -> (B, L) base codes 0..3.
+
+    The optimization_barrier is a fusion fence: letting XLA fuse the
+    bit-expand with the minor-dim reshape sends TPU compile time from
+    <1 s to minutes at contig-scale L (measured 38 s at L~1M, growing
+    with L), while the fenced form compiles in ~0.6 s with no measurable
+    runtime cost."""
     B = packed.shape[0]
     shifts = jnp.arange(4, dtype=jnp.uint8) * 2
     expanded = (packed[:, :, None] >> shifts[None, None, :]) & 3
+    expanded = jax.lax.optimization_barrier(expanded)
     return expanded.reshape(B, L)
 
 
@@ -230,6 +237,13 @@ def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int,
     else:
         can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
             codes, lengths, k, w
+        )
+        # fusion fence: without it XLA's fusion search across the unrolled
+        # hash graph x the gather/sort consumers takes minutes of compile
+        # time at contig-scale L (352 s measured at L=2^20 vs 1.6 s for
+        # the kernel alone)
+        can_hi, can_lo, fwd, winner, emit = jax.lax.optimization_barrier(
+            (can_hi, can_lo, fwd, winner, emit)
         )
     sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_mins]
     sel_ok = jnp.take_along_axis(emit, sel, axis=1)
