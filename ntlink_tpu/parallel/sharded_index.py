@@ -133,6 +133,12 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
     Returns fn(codes, lengths, *tables) -> per-row (count, n_minimizers,
     rpos_packed, cid, cpos, found), each (B, S) with strand bits packed in
     rpos_packed bits 29/30 (the engine's standard anchor word).
+
+    Inside the shard-mapped body, per-rank block shapes are static, so the
+    fused Pallas sketch core is selected per-rank with the same gating as
+    the single-device step (TPU backend, L % 128 == 0, L <= 16384 for the
+    v5e VMEM budget, local rows % 8 == 0); CPU meshes (tests, dryruns)
+    keep the XLA lowering.
     """
     n_shards = sidx.n_shards
     mask = sidx.mask
@@ -173,9 +179,22 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
         # per-rank table block has a leading shard dim of 1
         t_hi, t_lo = t_hi[0], t_lo[0]
         t_cid, t_pos, t_strand = t_cid[0], t_pos[0], t_strand[0]
-        can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
-            codes, lengths, k, w
-        )
+        B_loc, L_loc = codes.shape
+        if (
+            jax.default_backend() not in ("cpu",)
+            and L_loc % 128 == 0
+            and L_loc <= 16384
+            and B_loc % 8 == 0
+        ):
+            from ..ops.sketch_pallas import sketch_batch_pallas
+
+            can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas(
+                codes.astype(jnp.int32), lengths, k, w, False
+            )
+        else:
+            can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
+                codes, lengths, k, w
+            )
         sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_anchors]
         sel_ok = jnp.take_along_axis(emit, sel, axis=1)
         m_pos = jnp.take_along_axis(winner, sel, axis=1)
