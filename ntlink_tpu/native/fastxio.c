@@ -424,9 +424,88 @@ fail:
     return NULL;
 }
 
+/* u64 -> decimal into p, returns new p (no terminator) */
+static char *fmt_u64(char *p, unsigned long long v)
+{
+    char tmp[20];
+    int n = 0;
+    do {
+        tmp[n++] = (char)('0' + (v % 10));
+        v /= 10;
+    } while (v);
+    while (n)
+        *p++ = tmp[--n];
+    return p;
+}
+
+/* render_minimizers(hashes u64 buf, positions i64 buf, forward u8 buf | None,
+ *                   n) -> bytes
+ *
+ * The indexlr TSV body "hash:pos[:strand] hash:pos[:strand] ..." rendered in
+ * one GIL-released pass (the reference emits this per sequence via indexlr;
+ * Python string formatting is ~30x slower at assembly scale). forward=None
+ * omits the strand column (overlap dialect). */
+static PyObject *py_render_minimizers(PyObject *self, PyObject *args)
+{
+    Py_buffer h_v, p_v;
+    PyObject *fwd_obj;
+    Py_ssize_t n;
+    if (!PyArg_ParseTuple(args, "y*y*On", &h_v, &p_v, &fwd_obj, &n))
+        return NULL;
+    Py_buffer f_v;
+    int with_strand = fwd_obj != Py_None;
+    if (with_strand && PyObject_GetBuffer(fwd_obj, &f_v, PyBUF_SIMPLE) < 0) {
+        PyBuffer_Release(&h_v);
+        PyBuffer_Release(&p_v);
+        return NULL;
+    }
+    /* worst case per token: 20 (hash) + 1 + 19 (pos) + 2 (strand) + 1 sep */
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n ? n * 44 : 1);
+    if (!out)
+        goto fail;
+    {
+        char *base = PyBytes_AS_STRING(out);
+        char *p = base;
+        const unsigned long long *hs = h_v.buf;
+        const long long *ps = p_v.buf;
+        const unsigned char *fs = with_strand ? f_v.buf : NULL;
+        Py_BEGIN_ALLOW_THREADS
+        for (Py_ssize_t i = 0; i < n; i++) {
+            if (i)
+                *p++ = ' ';
+            p = fmt_u64(p, hs[i]);
+            *p++ = ':';
+            p = fmt_u64(p, (unsigned long long)ps[i]);
+            if (fs) {
+                *p++ = ':';
+                *p++ = fs[i] ? '+' : '-';
+            }
+        }
+        Py_END_ALLOW_THREADS
+        if (_PyBytes_Resize(&out, p - base) < 0)
+            goto fail;
+    }
+    if (with_strand)
+        PyBuffer_Release(&f_v);
+    PyBuffer_Release(&h_v);
+    PyBuffer_Release(&p_v);
+    return out;
+
+fail:
+    if (with_strand)
+        PyBuffer_Release(&f_v);
+    PyBuffer_Release(&h_v);
+    PyBuffer_Release(&p_v);
+    Py_XDECREF(out);
+    return NULL;
+}
+
 static PyMethodDef fastx_methods[] = {
     {"pack_batch", py_pack_batch, METH_VARARGS,
      "pack_batch(rows, pad) -> packed bytes matrix"},
+    {"render_minimizers", py_render_minimizers, METH_VARARGS,
+     "render_minimizers(hashes_u64, positions_i64, forward_u8|None, n) -> "
+     "TSV body bytes"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -45,6 +45,26 @@ def sketch_sequences(
         yield from backend.sketch_stream(named_seqs, k, w)
 
 
+def format_minimizers_bytes(mins: Minimizers, with_strand: bool = True) -> bytes:
+    """Render the indexlr TSV body ("hash:pos[:strand] ..."); native C
+    renderer when available (~30x at assembly scale), Python fallback."""
+    from .native import fastx_module
+
+    native = fastx_module()
+    if native is not None and hasattr(native, "render_minimizers"):
+        import numpy as np
+
+        return native.render_minimizers(
+            np.ascontiguousarray(mins.hashes),
+            np.ascontiguousarray(mins.positions.astype(np.int64)),
+            np.ascontiguousarray(mins.forward).view(np.uint8)
+            if with_strand
+            else None,
+            len(mins.hashes),
+        )
+    return format_minimizers(mins, with_strand=with_strand).encode()
+
+
 def format_minimizers(mins: Minimizers, with_strand: bool = True) -> str:
     if with_strand:
         return " ".join(
@@ -63,13 +83,14 @@ def write_sketch_tsv(
     with_len: bool = False,
     backend=None,
 ) -> None:
-    """Stream sequences through the sketcher, writing indexlr-style TSV."""
+    """Stream sequences through the sketcher, writing indexlr-style TSV
+    (binary file handle)."""
     for name, seq_len, mins in sketch_sequences(named_seqs, k, w, backend=backend):
-        body = format_minimizers(mins, with_strand=with_strand)
+        body = format_minimizers_bytes(mins, with_strand=with_strand)
         if with_len:
-            out_fh.write(f"{name}\t{seq_len}\t{body}\n")
+            out_fh.write(f"{name}\t{seq_len}\t".encode() + body + b"\n")
         else:
-            out_fh.write(f"{name}\t{body}\n")
+            out_fh.write(f"{name}\t".encode() + body + b"\n")
 
 
 def sketch_fasta_to_tsv(
@@ -81,7 +102,7 @@ def sketch_fasta_to_tsv(
     with_len: bool = False,
     backend=None,
 ) -> None:
-    with open(out_path, "w") as out_fh:
+    with open(out_path, "wb") as out_fh:
         write_sketch_tsv(
             out_fh,
             ((rec.name, rec.seq) for rec in stream_fastx(fasta_path)),

@@ -104,3 +104,35 @@ def test_prefetch_files_propagates_exceptions(tmp_path):
     p, it = next(results)
     with pytest.raises(Exception):
         list(it)
+
+
+@pytest.mark.parametrize("with_strand", [True, False])
+def test_native_minimizer_render_matches_python(with_strand):
+    """C render_minimizers == the Python TSV body formatter, byte for byte,
+    including 64-bit-boundary hash values and empty input."""
+    import numpy as np
+
+    from ntlink_tpu.ops.nthash_np import Minimizers
+    from ntlink_tpu.sketch import format_minimizers, format_minimizers_bytes
+
+    rng = np.random.default_rng(9)
+    hashes = np.concatenate(
+        [
+            rng.integers(0, 2**63, 500, dtype=np.uint64) * np.uint64(2),
+            np.array([0, 1, 2**63, 2**64 - 1, 10**19], dtype=np.uint64),
+        ]
+    )
+    n = len(hashes)
+    mins = Minimizers(
+        hashes,
+        np.sort(rng.integers(0, 2**31, n)).astype(np.int64),
+        rng.integers(0, 2, n).astype(bool),
+    )
+    got = format_minimizers_bytes(mins, with_strand=with_strand)
+    exp = format_minimizers(mins, with_strand=with_strand).encode()
+    assert got == exp
+
+    empty = Minimizers(
+        np.zeros(0, np.uint64), np.zeros(0, np.int64), np.zeros(0, bool)
+    )
+    assert format_minimizers_bytes(empty, with_strand=with_strand) == b""
