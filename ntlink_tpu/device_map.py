@@ -127,7 +127,8 @@ class DeviceMapper:
             # fused Pallas sketch core on real TPU; XLA elsewhere. The
             # kernel holds an (8, L) row tile (6 arrays + temps) in VMEM,
             # so large pad buckets exceed the 16 MB scoped limit — measured
-            # OK at L=16384 (~12 MB), OOM at 65536.
+            # OK at L=16384; L=32768 OOMs once the grid pipeline
+            # double-buffers blocks (any B > 8).
             use_pallas = (
                 jax.default_backend() not in ("cpu",)
                 and L % 128 == 0

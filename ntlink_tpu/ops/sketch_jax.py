@@ -416,7 +416,9 @@ class JaxSketcher:
                 packed = pack_codes(codes)
             # fused Pallas sketch core on real TPU; XLA elsewhere. Same
             # VMEM gate as the mapping step: the kernel holds (8, L) row
-            # tiles, OOMs past L=16384 on v5e.
+            # tiles; with the pipelined grid double-buffering blocks, L=32768
+            # OOMs VMEM on v5e for any multi-step grid (only a degenerate
+            # B=8 single-step grid fits), so the gate stays at 16384.
             use_pallas = (
                 jax.default_backend() not in ("cpu",)
                 and pad % 128 == 0
