@@ -113,10 +113,21 @@ def load_read_mappings(
     mappings_file: str, pairs: Dict[Tuple[str, str], GapPair]
 ) -> Dict[str, dict]:
     """Collect per-read mapping info for reads supporting path pairs
-    (reference read_verbose_mappings + tally_contig_mapping_info)."""
+    (reference read_verbose_mappings + tally_contig_mapping_info).
+
+    Reads are pre-filtered before any per-anchor parsing: a read can only
+    support a gap pair if at least two of its rows map contigs that appear
+    in `pairs`, so everything else skips the (expensive) full hit parse —
+    the bulk of the file at assembly scale."""
     read_info: Dict[str, dict] = {}
+    relevant = set()
+    for a, b in pairs:
+        relevant.add(a[:-1])
+        relevant.add(b[:-1])
 
     def process(read_id: str, rows: List[List[str]]) -> None:
+        if sum(1 for f in rows if f[1] in relevant) < 2:
+            return
         per_ctg: Dict[str, ReadMapping] = {}
         order: List[str] = []
         length = None
