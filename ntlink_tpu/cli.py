@@ -90,6 +90,10 @@ def parse_args(argv: List[str]):
     return targets, params
 
 
+#: parameters consumed by main() itself, not ScaffoldConfig fields
+_DRIVER_KEYS = {"rounds"}
+
+
 def build_config(params: Dict[str, str]) -> ScaffoldConfig:
     cfg = ScaffoldConfig()
     for key, value in params.items():
@@ -99,6 +103,9 @@ def build_config(params: Dict[str, str]) -> ScaffoldConfig:
             continue
         if key == "target":
             cfg.target = value
+            continue
+        if key in _DRIVER_KEYS:
+            int(value)  # still validated loudly
             continue
         if not hasattr(cfg, dest):
             # fail loudly: a typo'd knob silently doing nothing teaches the

@@ -139,7 +139,35 @@ def _emit_read(rows: List[LiftedRow], out_fh) -> None:
 def liftover_mappings(
     mappings_path: str, agp_path: str, out_path: str, k: int
 ) -> None:
+    """Lift a verbose_mapping file into new-round coordinates. Native C
+    fast path when available (~30x; parity-tested), Python fallback."""
     agp = read_agp_components(agp_path)
+
+    from .native import liftover_module
+
+    native = liftover_module()
+    if native is not None:
+        import numpy as np
+
+        comps = list(agp.values())
+        native.lift(
+            mappings_path,
+            out_path,
+            k,
+            [c.contig for c in comps],
+            [c.path_id for c in comps],
+            np.asarray([c.scaf_start for c in comps], np.int64),
+            np.asarray([c.ctg_start for c in comps], np.int64),
+            np.asarray([c.ctg_end for c in comps], np.int64),
+            np.asarray(
+                [1 if c.orientation == "+" else 0 for c in comps], np.uint8
+            ),
+            np.asarray(
+                [1 if c.path_id == c.contig else 0 for c in comps], np.uint8
+            ),
+        )
+        return
+
     with open(mappings_path) as fh, open(out_path, "w") as out_fh:
         current: Optional[str] = None
         rows: List[LiftedRow] = []

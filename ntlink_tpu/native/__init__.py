@@ -29,3 +29,8 @@ def chain_module():
 def graph_module():
     """The compiled ntlink_graph module, or None if unavailable."""
     return _get("ntlink_graph")
+
+
+def liftover_module():
+    """The compiled ntlink_liftover module, or None if unavailable."""
+    return _get("ntlink_liftover")

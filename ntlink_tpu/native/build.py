@@ -16,6 +16,7 @@ MODULES = {
     "ntlink_fastx": ("fastxio.c", ["-lz"]),
     "ntlink_chain": ("chain.c", []),
     "ntlink_graph": ("graph.c", []),
+    "ntlink_liftover": ("liftover.c", []),
 }
 
 

@@ -29,3 +29,25 @@ def test_rounds(tmp_path, monkeypatch, gap_fill):
     suffix = "ntLink.gap_fill" if gap_fill else "ntLink"
     ckpt = f"scaffolds_1.fa.k{k}.w200.z1000.{suffix}.fa.k{k}.w200.z1000.verbose_mapping.tsv"
     assert os.path.exists(ckpt)
+
+
+def test_rounds_via_cli(tmp_path, monkeypatch):
+    """`ntLink_rounds run_rounds ... rounds=N` must accept the rounds knob
+    (driver-level parameter, not a config field — regression test)."""
+    from ntlink_tpu.cli import main
+
+    shutil.copy(
+        os.path.join(REF_TESTS_DIR, "scaffolds_1.fa"), tmp_path / "s.fa"
+    )
+    shutil.copy(
+        os.path.join(REF_TESTS_DIR, "long_reads_1.fa"), tmp_path / "r.fa"
+    )
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        [
+            "run_rounds", "target=s.fa", "reads=r.fa", "rounds=2",
+            "k=32", "w=250", "z=1000", "backend=numpy",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists("s.fa.k32.w250.z1000.ntLink.2rounds.fa")
