@@ -237,7 +237,10 @@ def device_run() -> None:
     pipeline.map_reads(warm_cfg, index, contig_lengths, None, None)
 
     # best of 4: the shared tunnel to the chip swings 2-3x run to run;
-    # the best run reflects the engine's per-chip capability
+    # the best run reflects the engine's per-chip capability. Under truly
+    # bad weather (observed <0.1 MB/s) a single run takes minutes — stop
+    # repeating once the budget is clearly better spent reporting what we
+    # have than timing out the whole attempt.
     best_t, tally = None, None
     for _ in range(4):
         t0 = time.time()
@@ -246,6 +249,10 @@ def device_run() -> None:
         )
         dt = time.time() - t0
         best_t = dt if best_t is None else min(best_t, dt)
+        if dt > 60:
+            print(f"# slow link ({dt:.0f}s/run); stopping early",
+                  file=sys.stderr)
+            break
     dev_t = best_t
     n_reads = len(reads)
     print(
@@ -254,7 +261,13 @@ def device_run() -> None:
         f"{n_bases/dev_t/1e6:.0f} Mbase/s, {len(tally.pairs)} pairs",
         file=sys.stderr,
     )
-    extra = _kernel_bench()
+    try:
+        extra = _kernel_bench()
+    except AssertionError:
+        raise  # kernel parity failure is a real defect — surface it
+    except Exception as exc:  # transport blip: keep the mapping result
+        print(f"# kernel bench unavailable: {exc}", file=sys.stderr)
+        extra = {}
     print(f"# kernels: {extra}", file=sys.stderr)
     print(json.dumps({"reads_per_s": n_reads / dev_t, **extra}))
 
@@ -267,13 +280,13 @@ def main():
     # re-establishes the claim cleanly.
     dev_rps = None
     extra = {}
-    for attempt in range(2):
+    for attempt in range(3):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--device"],
                 capture_output=True,
                 text=True,
-                timeout=420,
+                timeout=420 if attempt < 2 else 560,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             for line in proc.stderr.splitlines():
