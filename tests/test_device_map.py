@@ -5,7 +5,6 @@ import os
 import shutil
 
 import jax
-import pytest
 
 from ntlink_tpu.config import ScaffoldConfig
 from ntlink_tpu.pipeline import pair_stage

@@ -81,7 +81,6 @@ def test_empty_reads_file(tmp_path, monkeypatch):
 
 def test_cli_drop_in(tmp_path, monkeypatch):
     import subprocess
-    import sys
 
     for f in ("scaffolds_1.fa", "long_reads_1.fa"):
         shutil.copy(os.path.join(REF_TESTS_DIR, f), tmp_path / f)

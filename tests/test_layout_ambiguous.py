@@ -182,7 +182,6 @@ def test_parallel_n_sweep_matches_serial(tmp_path, monkeypatch):
     """run_n_sweep with worker processes writes byte-identical sweep
     artifacts to the serial path."""
     import filecmp
-    import os
 
     import numpy as np
 

@@ -1,9 +1,8 @@
 """Unit tests for the layout engine and stitch stage."""
-import os
 
 from ntlink_tpu.graphio import EdgeAttr, ScaffoldGraph
-from ntlink_tpu.layout import assemble_paths, layout, remove_transitive_edges, run_n_sweep
-from ntlink_tpu.stitch import find_optimal_n, read_path_graph, extract_paths, stitch
+from ntlink_tpu.layout import layout, remove_transitive_edges, run_n_sweep
+from ntlink_tpu.stitch import find_optimal_n, stitch
 
 
 def chain_graph(edges, lengths):

@@ -1,6 +1,5 @@
 """Liftover coordinate-math unit tests (hand-computed expectations,
 reference ntlink_liftover_mappings.py:61-118)."""
-import pytest
 
 from ntlink_tpu.liftover import liftover_mappings
 

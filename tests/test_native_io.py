@@ -1,5 +1,4 @@
 """Native C reader parity vs the pure-Python readfq parser."""
-import glob
 import os
 
 import numpy as np

@@ -8,7 +8,6 @@ goldens.
 import os
 
 import numpy as np
-import pytest
 
 from ntlink_tpu.config import ScaffoldConfig
 from ntlink_tpu.pipeline import run_scaffold
