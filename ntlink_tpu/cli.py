@@ -31,6 +31,7 @@ TARGETS = {
     "run_rounds",
     "run_rounds_gaps",
     "fac",
+    "liftover",
     "help",
     "version",
 }
@@ -62,6 +63,10 @@ Targets:
   pair              mapping + scaffold graph only
   run_rounds        iterative rounds (rounds=N)
   run_rounds_gaps   iterative rounds with gap-filling
+  fac               abyss-fac-equivalent contiguity stats over FASTA files
+  liftover          lift a verbose_mapping file over an AGP
+                    (agp=... mappings=... out=... k=32; standalone
+                    equivalent of the reference ntlink_liftover_mappings.py)
   clean             remove intermediate files
   version / help
 
@@ -91,7 +96,7 @@ def parse_args(argv: List[str]):
 
 
 #: parameters consumed by main() itself, not ScaffoldConfig fields
-_DRIVER_KEYS = {"rounds"}
+_DRIVER_KEYS = {"rounds", "agp", "mappings", "out"}
 
 
 def build_config(params: Dict[str, str]) -> ScaffoldConfig:
@@ -105,7 +110,8 @@ def build_config(params: Dict[str, str]) -> ScaffoldConfig:
             cfg.target = value
             continue
         if key in _DRIVER_KEYS:
-            int(value)  # still validated loudly
+            if key == "rounds":
+                int(value)  # still validated loudly
             continue
         if not hasattr(cfg, dest):
             # fail loudly: a typo'd knob silently doing nothing teaches the
@@ -150,6 +156,20 @@ def main(argv: List[str] | None = None) -> int:
     if unknown:
         print(f"ERROR: unknown target(s): {' '.join(unknown)}", file=sys.stderr)
         return 2
+
+    if "liftover" in targets:
+        # standalone AGP liftover (reference ntlink_liftover_mappings.py)
+        from .liftover import liftover_mappings
+
+        agp, mappings = params.get("agp"), params.get("mappings")
+        if not agp or not mappings:
+            print("ERROR: liftover requires agp= and mappings=",
+                  file=sys.stderr)
+            return 2
+        out = params.get("out", f"{mappings}.lifted.tsv")
+        liftover_mappings(mappings, agp, out, int(params.get("k", 32)))
+        print(f"Lifted mappings written to {out}")
+        return 0
 
     cfg = build_config(params)
     rounds = int(params.get("rounds", 5))

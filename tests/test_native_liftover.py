@@ -121,3 +121,17 @@ def test_random_scenarios(tmp_path, monkeypatch, seed):
             lines.append(_row(f"r{r}", name, hits))
     got, exp = _run_both(tmp_path, monkeypatch, lines, agp)
     assert got == exp
+
+
+def test_liftover_cli_target(tmp_path, monkeypatch):
+    """`ntlink liftover agp=... mappings=...` — standalone drop-in for the
+    reference's ntlink_liftover_mappings.py console script."""
+    from ntlink_tpu.cli import main
+
+    agp = [("S1", 1, 1000, 1, "W", "ctgA", 1, 1000, "+")]
+    _write_agp(tmp_path / "x.agp", agp)
+    (tmp_path / "m.tsv").write_text(_row("r1", "ctgA", [(10, "+", 5, "+")]) + "\n")
+    monkeypatch.chdir(tmp_path)
+    rc = main(["liftover", "agp=x.agp", "mappings=m.tsv", "out=o.tsv", "k=32"])
+    assert rc == 0
+    assert (tmp_path / "o.tsv").read_text() == "r1\tS1\t1\t10:+_5:+\n"
