@@ -15,6 +15,12 @@ def test_pallas_matches_numpy(k, w):
     B, L = ROWS, 2048
     codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
     lengths = rng.integers(L // 2, L + 1, size=B).astype(np.int32)
+    # edge rows: shorter than a full window (no emissions), shorter than k,
+    # zero-length padding, exactly one window
+    lengths[0] = k + w - 2
+    lengths[1] = max(k - 1, 1)
+    lengths[2] = 0
+    lengths[3] = k + w - 1
     can_hi, can_lo, fwd, winner, emit = [
         np.asarray(o)
         for o in sketch_batch_pallas(codes, lengths, k, w, True)
