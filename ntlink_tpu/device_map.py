@@ -122,24 +122,18 @@ class DeviceMapper:
                 self.didx.max_probes, key[1], with_hashes=self.with_hashes,
             )
         else:
-            import jax
+            from .ops.sketch_pallas import pallas_mode
 
-            # fused Pallas sketch core on real TPU; XLA elsewhere. The
-            # kernel holds an (8, L) row tile (6 arrays + temps) in VMEM,
-            # so large pad buckets exceed the 16 MB scoped limit — measured
-            # OK at L=16384; L=32768 OOMs once the grid pipeline
-            # double-buffers blocks (any B > 8).
-            use_pallas = (
-                jax.default_backend() not in ("cpu",)
-                and L % 128 == 0
-                and L <= 16384
-            )
+            # fused Pallas sketch core on real TPU (single VMEM tile up to
+            # L=16384, column-chunked beyond); XLA lowering elsewhere
+            pmode = pallas_mode(L)
             jstep = _single_device_step()
             d = self.didx
             step = lambda packed, lengths, didx: jstep(
                 packed, lengths, d.t_hi, d.t_lo, d.t_cid, d.t_pos, d.t_strand,
                 self.k, self.w, L, d.mask, d.max_probes, key[1],
-                use_pallas and packed.shape[0] % 8 == 0, self.with_hashes,
+                pmode if packed.shape[0] % 8 == 0 else False,
+                self.with_hashes,
             )
         self._steps[key] = step
         return step

@@ -414,17 +414,11 @@ class JaxSketcher:
                 for row, c in enumerate(row_codes):
                     codes[row, : len(c)] = c
                 packed = pack_codes(codes)
-            # fused Pallas sketch core on real TPU; XLA elsewhere. Same
-            # VMEM gate as the mapping step: the kernel holds (8, L) row
-            # tiles; with the pipelined grid double-buffering blocks, L=32768
-            # OOMs VMEM on v5e for any multi-step grid (only a degenerate
-            # B=8 single-step grid fits), so the gate stays at 16384.
-            use_pallas = (
-                jax.default_backend() not in ("cpu",)
-                and pad % 128 == 0
-                and pad <= 16384
-                and B % 8 == 0
-            )
+            # fused Pallas sketch core on real TPU (single VMEM tile up
+            # to L=16384, column-chunked beyond); XLA lowering elsewhere
+            from .sketch_pallas import pallas_mode
+
+            use_pallas = pallas_mode(pad) if B % 8 == 0 else False
             out = step(
                 jnp.asarray(packed), jnp.asarray(lengths), k, w, pad,
                 self._slots_for(pad, w), use_pallas,

@@ -40,7 +40,12 @@ from .sketch_jax import _lex_lt2, sliding_hashes
 ROWS = 8  # row tile (sublane dimension)
 
 
-def _make_kernel(k: int, w: int, L: int):
+def _make_kernel(k: int, w: int, L: int, emit_mode: bool = True):
+    """emit_mode=True: final output plane is the emit mask (consecutive-
+    winner dedup against the in-row previous window). emit_mode=False
+    (chunked path): the final plane is the window's winning key_hi instead
+    — the wrapper computes prev/emit globally across chunk boundaries."""
+
     def kernel(codes_ref, len_ref, can_hi_ref, can_lo_ref, fwd_ref,
                winner_ref, emit_ref):
         FULL = jnp.uint32(0xFFFFFFFF)
@@ -88,24 +93,130 @@ def _make_kernel(k: int, w: int, L: int):
         winner = jnp.where(take, b_idx, m_idx)
         win_hi = jnp.where(take, b_hi, m_hi)
 
-        # previous window's winner = winner shifted RIGHT by one lane
-        rolled = pltpu.roll(winner, 1, 1)
-        prev = jnp.where(lane == 0, jnp.full_like(winner, -1), rolled)
-
-        n_win = jnp.maximum(lengths - k + 1 - w + 1, 0)
-        emit = (
-            (winner != prev)
-            & (lane < n_win)
-            & (win_hi != FULL)
-        )
-
         can_hi_ref[:, :] = can_hi
         can_lo_ref[:, :] = can_lo
         fwd_ref[:, :] = fwd.astype(jnp.int32)
         winner_ref[:, :] = winner
-        emit_ref[:, :] = emit.astype(jnp.int32)
+        if emit_mode:
+            # previous window's winner = winner shifted RIGHT by one lane
+            rolled = pltpu.roll(winner, 1, 1)
+            prev = jnp.where(lane == 0, jnp.full_like(winner, -1), rolled)
+            n_win = jnp.maximum(lengths - k + 1 - w + 1, 0)
+            emit = (
+                (winner != prev)
+                & (lane < n_win)
+                & (win_hi != FULL)
+            )
+            emit_ref[:, :] = emit.astype(jnp.int32)
+        else:
+            emit_ref[:, :] = win_hi.astype(jnp.int32)
 
     return kernel
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+#: single-tile VMEM limit on v5e (L=32768 OOMs once the grid pipeline
+#: double-buffers blocks); longer rows go through the chunked path
+MAX_SINGLE_L = 16384
+
+
+def pallas_mode(L: int):
+    """Pallas selection for row length L on the current backend: True
+    (single-tile kernel), "chunked" (column-chunked kernel), or False
+    (XLA lowering). Callers must additionally require rows % 8 == 0."""
+    import jax
+
+    if jax.default_backend() in ("cpu",) or L % 128:
+        return False
+    if L <= MAX_SINGLE_L:
+        return True
+    if L % MAX_SINGLE_L == 0:
+        return "chunked"
+    return False
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def sketch_batch_pallas_chunked(codes, lengths, k: int, w: int,
+                                chunk: int = 16384,
+                                interpret: bool = False):
+    """Column-chunked Pallas sketch for rows longer than one VMEM tile.
+
+    Splits the row into `chunk`-wide column windows (chunk | L), running the
+    fused kernel on `chunk + pad(k + w - 2)` columns per step so every
+    window minimum within the chunk sees its full key range; hash planes
+    and (offset-corrected) winners concatenate exactly, and the
+    consecutive-winner emit mask is computed globally so chunk boundaries
+    dedup correctly. Same output contract as sketch_batch_pallas; VMEM use
+    is that of an L=chunk+overlap kernel regardless of L.
+    """
+    B, L = codes.shape
+    assert B % ROWS == 0 and L % chunk == 0 and chunk % 128 == 0
+    ov = _ceil_to(k + w - 2, 128)
+    L_in = chunk + ov
+    kernel = _make_kernel(k, w, L_in, emit_mode=False)
+    grid = (B // ROWS,)
+    row_spec = pl.BlockSpec((ROWS, L_in), lambda i: (i, 0))
+    len_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0))
+    out_shape = [
+        jax.ShapeDtypeStruct((B, L_in), jnp.uint32),
+        jax.ShapeDtypeStruct((B, L_in), jnp.uint32),
+        jax.ShapeDtypeStruct((B, L_in), jnp.int32),
+        jax.ShapeDtypeStruct((B, L_in), jnp.int32),
+        jax.ShapeDtypeStruct((B, L_in), jnp.int32),
+    ]
+    codes_i = codes.astype(jnp.int32)
+    codes_pad = jnp.concatenate(
+        [codes_i, jnp.zeros((B, ov), jnp.int32)], axis=1
+    )
+    lengths_i = lengths.astype(jnp.int32)
+
+    # unrolled chunk loop + one concatenate per plane: measured at full
+    # single-chunk throughput (a fori_loop + dynamic_update_slice carry
+    # form ran orders of magnitude slower on TPU)
+    parts = {key: [] for key in ("hi", "lo", "fwd", "win", "key")}
+    for ci in range(L // chunk):
+        off = ci * chunk
+        codes_c = jax.lax.slice_in_dim(codes_pad, off, off + L_in, axis=1)
+        len_c = jnp.clip(lengths_i - off, 0, L_in)
+        len_tiled = jnp.broadcast_to(len_c[:, None], (B, 128))
+        o_hi, o_lo, o_fwd, o_win, o_key = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[row_spec, len_spec],
+            out_specs=[row_spec] * 5,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(codes_c, len_tiled)
+        parts["hi"].append(o_hi[:, :chunk])
+        parts["lo"].append(o_lo[:, :chunk])
+        parts["fwd"].append(o_fwd[:, :chunk])
+        parts["win"].append(o_win[:, :chunk] + off)
+        parts["key"].append(o_key[:, :chunk])
+    cat = lambda key: jnp.concatenate(parts[key], axis=1)
+    can_hi, can_lo, fwd = cat("hi"), cat("lo"), cat("fwd")
+    winner, win_hi = cat("win"), cat("key")
+
+    FULL = jnp.uint32(0xFFFFFFFF)
+    M = L - k + 1
+    NW = max(M - w + 1, 0)
+    winner = winner[:, :NW]
+    win_valid = win_hi[:, :NW].view(jnp.uint32) != FULL
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, winner.dtype), winner[:, :-1]], axis=1
+    )
+    n_win = jnp.maximum(lengths.astype(jnp.int32) - k + 1 - w + 1, 0)
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (B, NW), 1)
+    emit = (winner != prev) & (wpos < n_win[:, None]) & win_valid
+    return (
+        can_hi,
+        can_lo,
+        fwd.astype(jnp.bool_),
+        winner,
+        emit,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

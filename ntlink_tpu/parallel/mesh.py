@@ -162,7 +162,13 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
     sketch core (TPU only).
     """
     codes = unpack_codes(packed, L)
-    if use_pallas:
+    if use_pallas == "chunked":
+        from ..ops.sketch_pallas import sketch_batch_pallas_chunked
+
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas_chunked(
+            codes, lengths, k, w
+        )
+    elif use_pallas:
         from ..ops.sketch_pallas import sketch_batch_pallas
 
         can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas(
@@ -228,7 +234,13 @@ def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int,
     (TPU only, same gating as the mapping step).
     """
     codes = unpack_codes(packed, L)
-    if use_pallas:
+    if use_pallas == "chunked":
+        from ..ops.sketch_pallas import sketch_batch_pallas_chunked
+
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas_chunked(
+            codes, lengths, k, w
+        )
+    elif use_pallas:
         from ..ops.sketch_pallas import sketch_batch_pallas
 
         can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas(

@@ -180,12 +180,16 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
         t_hi, t_lo = t_hi[0], t_lo[0]
         t_cid, t_pos, t_strand = t_cid[0], t_pos[0], t_strand[0]
         B_loc, L_loc = codes.shape
-        if (
-            jax.default_backend() not in ("cpu",)
-            and L_loc % 128 == 0
-            and L_loc <= 16384
-            and B_loc % 8 == 0
-        ):
+        from ..ops.sketch_pallas import pallas_mode
+
+        pmode = pallas_mode(L_loc) if B_loc % 8 == 0 else False
+        if pmode == "chunked":
+            from ..ops.sketch_pallas import sketch_batch_pallas_chunked
+
+            can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas_chunked(
+                codes.astype(jnp.int32), lengths, k, w
+            )
+        elif pmode:
             from ..ops.sketch_pallas import sketch_batch_pallas
 
             can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas(
