@@ -122,7 +122,10 @@ def _kernel_bench():
     if jax.default_backend() == "cpu":
         return {}
     from ntlink_tpu.ops.sketch_jax import sketch_batch_kernel
-    from ntlink_tpu.ops.sketch_pallas import sketch_batch_pallas
+    from ntlink_tpu.ops.sketch_pallas import (
+        sketch_batch_pallas,
+        sketch_batch_pallas_chunked,
+    )
 
     rng = np.random.default_rng(7)
     B, L = 2048, 16384
@@ -161,28 +164,48 @@ def _kernel_bench():
 
     seed = [0]
 
-    def run(fn, name):
+    def run(fn, name, c=None, l=None, pair=(N_SHORT, N_LONG)):
+        c = codes if c is None else c
+        l = lengths if l is None else l
         times = {}
-        for iters in (N_SHORT, N_LONG):
+        for iters in pair:
             f = make_chain(fn, iters)
-            int(f(codes, lengths, jnp.uint32(9999)))  # compile + warm
+            int(f(c, l, jnp.uint32(9999)))  # compile + warm
             best = None
             for _ in range(3):
                 seed[0] += 1
                 t0 = time.time()
-                int(f(codes, lengths, jnp.uint32(seed[0])))
+                int(f(c, l, jnp.uint32(seed[0])))
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             times[iters] = best
-        per_iter = max(times[N_LONG] - times[N_SHORT], 1e-9) / (
-            N_LONG - N_SHORT
+        per_iter = max(times[pair[1]] - times[pair[0]], 1e-9) / (
+            pair[1] - pair[0]
         )
-        out[f"sketch_{name}_gbase_per_s"] = round(B * L / per_iter / 1e9, 2)
+        rows, cols = c.shape
+        out[f"sketch_{name}_gbase_per_s"] = round(
+            rows * cols / per_iter / 1e9, 2
+        )
 
     run(sketch_batch_kernel, "xla")
     run(
         lambda c, l, k, w: sketch_batch_pallas(c.astype(jnp.int32), l, k, w),
         "pallas",
+    )
+
+    # column-chunked kernel in the long-read regime (rows past the single-
+    # tile VMEM gate); fewer chain iterations — same Gbase/iter as above
+    B_c, L_c = 512, 65536
+    codes_c = jnp.asarray(
+        rng.integers(0, 4, size=(B_c, L_c), dtype=np.int32)
+    )
+    lengths_c = jnp.full((B_c,), L_c, jnp.int32)
+    run(
+        lambda c, l, k, w: sketch_batch_pallas_chunked(c, l, k, w),
+        "pallas_chunked",
+        codes_c,
+        lengths_c,
+        pair=(5, 21),
     )
 
     # equality of the compiled kernels on hardware (one plain dispatch
@@ -201,6 +224,29 @@ def _kernel_bench():
     )
     out["pallas_equals_xla_on_hw"] = same
     assert same, "compiled Pallas kernel diverged from XLA on hardware"
+
+    # chunked kernel parity past the single-tile gate (small batch — the
+    # XLA lowering is ~13x slower per base at this row length). The chunked
+    # wrapper already dedups winners globally, so compare its emitted
+    # minimizers against the XLA kernel's.
+    B_p, L_p = 8, 32768
+    codes_p = codes_c[:B_p, :L_p]
+    lengths_p = jnp.full((B_p,), L_p, jnp.int32)
+    r_c = jax.jit(
+        lambda c, l: sketch_batch_pallas_chunked(c, l, K, W)
+    )(codes_p, lengths_p)
+    r_x = jax.jit(
+        lambda c, l: sketch_batch_kernel(c, l, K, W)
+    )(codes_p.astype(jnp.uint8), lengths_p)
+    M_p = L_p - K + 1
+    same_c = all(
+        bool(jnp.array_equal(a[:, :M_p], b[:, :M_p]))
+        for a, b in zip(r_c[:3], r_x[:3])
+    ) and all(
+        bool(jnp.array_equal(a, b)) for a, b in zip(r_c[3:], r_x[3:])
+    )
+    out["pallas_chunked_equals_xla_on_hw"] = same_c
+    assert same_c, "chunked Pallas kernel diverged from XLA on hardware"
     return out
 
 
