@@ -220,40 +220,82 @@ class DeviceMapper:
         results: Dict[int, list] = {}
         encoded: Dict[int, np.ndarray] = {}
         buckets: Dict[int, List[int]] = {}
+        next_yield = [0]  # front of the in-order delivery window
 
+        import os
         import queue as queue_mod
         import threading
+        import time as time_mod
 
         from .native import fastx_module
 
         native = fastx_module()
 
-        # drained by a background thread so the main thread never blocks
-        # on device->host transfer waits (jax releases the GIL there)
+        # NTLINK_TIMING=1: per-phase wall-clock accounting of the hot loop,
+        # printed to stderr when the stream closes (main-thread flush phases
+        # vs drain-thread transfer waits — shows where a remote-link batch
+        # actually spends its time)
+        timing_on = bool(os.environ.get("NTLINK_TIMING"))
+        tacc: Dict[str, float] = {}
+        tN: Dict[str, int] = {}
+
+        def _t(key: str, t0: float) -> None:
+            tacc[key] = tacc.get(key, 0.0) + (time_mod.perf_counter() - t0)
+            tN[key] = tN.get(key, 0) + 1
+
+        # two pipeline threads decouple the main thread from every device
+        # interaction on the latency-heavy link:
+        #   feeder:  H2D put + step dispatch + prefix-slice dispatch + async
+        #            D2H starts (per-dispatch RTTs overlap the main thread's
+        #            reading/packing/chaining)
+        #   drainer: device->host transfer waits (jax releases the GIL there)
+        # FIFO queues preserve batch order end to end; depth 2 each bounds
+        # device memory and tunnel queueing (backpressure via put()).
+        feed_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
         work_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
-        drain_err: List[BaseException] = []
+        pipe_err: List[BaseException] = []
+        feeder: List[threading.Thread] = []
         drainer: List[threading.Thread] = []
+
+        def feed_loop() -> None:
+            while True:
+                ent = feed_q.get()
+                try:
+                    if ent is not None and not pipe_err:
+                        dispatch_batch(*ent)
+                except BaseException as exc:  # surfaced at next flush_all
+                    pipe_err.append(exc)
+                finally:
+                    feed_q.task_done()
+                if ent is None:
+                    return
 
         def drain_loop() -> None:
             while True:
                 ent = work_q.get()
                 try:
-                    if ent is not None and not drain_err:
+                    if ent is not None and not pipe_err:
                         drain(*ent)
                 except BaseException as exc:  # surfaced at next flush_all
-                    drain_err.append(exc)
+                    pipe_err.append(exc)
                 finally:
                     work_q.task_done()
                 if ent is None:
                     return
 
-        def ensure_drainer() -> None:
+        def ensure_threads() -> None:
             if not drainer:
                 t = threading.Thread(
                     target=drain_loop, daemon=True, name="ntlink-drain"
                 )
                 t.start()
                 drainer.append(t)
+            if not feeder:
+                t = threading.Thread(
+                    target=feed_loop, daemon=True, name="ntlink-feed"
+                )
+                t.start()
+                feeder.append(t)
 
         def flush_bucket(pad: int, idxs: List[int]) -> None:
             # fixed batch height per bucket: exactly one compile per bucket
@@ -266,6 +308,7 @@ class DeviceMapper:
             lengths = np.zeros(B, dtype=np.int32)
             lengths[: len(idxs)] = [len(c) for c in row_codes]
             rows = dict(enumerate(idxs))
+            t0 = time_mod.perf_counter() if timing_on else 0.0
             if native is not None:
                 buf = native.pack_batch(row_codes, pad)
                 packed = np.frombuffer(buf, dtype=np.uint8).reshape(-1, pad // 4)
@@ -278,10 +321,28 @@ class DeviceMapper:
                 for row, c in enumerate(row_codes):
                     codes[row, : len(c)] = c
                 packed = pack_codes(codes)
+            if timing_on:
+                _t("pack", t0)
+                t0 = time_mod.perf_counter()
+            ensure_threads()
+            feed_q.put((packed, lengths, pad, rows, row_codes))
+            if timing_on:
+                _t("feed_enqueue_wait", t0)
+
+        def dispatch_batch(packed, lengths, pad, rows, row_codes) -> None:
+            # feeder thread: every device call for this batch (the main
+            # thread never blocks on a tunnel RTT)
+            t0 = time_mod.perf_counter() if timing_on else 0.0
             step = self._step_for(pad)
-            out = step(
-                jnp.asarray(packed), jnp.asarray(lengths), self.didx
-            )  # async dispatch
+            dev_packed = jnp.asarray(packed)
+            dev_lengths = jnp.asarray(lengths)
+            if timing_on:
+                _t("h2d_put", t0)
+                t0 = time_mod.perf_counter()
+            out = step(dev_packed, dev_lengths, self.didx)  # async dispatch
+            if timing_on:
+                _t("dispatch", t0)
+                t0 = time_mod.perf_counter()
             # start both D2H copies immediately (async): metadata and an
             # adaptively capped anchor prefix stream over the link while
             # the host packs the next batch — the steady state pays zero
@@ -298,18 +359,21 @@ class DeviceMapper:
                 sliced.copy_to_host_async()
             except Exception:
                 pass
-            # hand the batch to the drainer thread: np.asarray on a jax
-            # array releases the GIL, so D2H waits overlap the main
-            # thread's packing/dispatch. Queue depth 2 bounds device
-            # memory and tunnel queueing (backpressure via put()).
-            ensure_drainer()
+            if timing_on:
+                _t("slice_copyasync", t0)
+                t0 = time_mod.perf_counter()
             work_q.put((out, sliced, pad, rows, row_codes, lengths))
+            if timing_on:
+                _t("drain_enqueue_wait", t0)
 
         def drain(out, sliced, pad, rows, row_codes, lengths) -> None:
             from .ops.sketch_jax import _trim_width
 
             B = int(lengths.shape[0])
+            t0 = time_mod.perf_counter() if timing_on else 0.0
             meta = np.asarray(out["meta"])
+            if timing_on:
+                _t("drain_meta_wait", t0)
             count, n_mins = meta[:B], meta[B:]
             n_planes = int(out["flat"].shape[0])
             slots = int(out["flat"].shape[1]) // B
@@ -327,11 +391,14 @@ class DeviceMapper:
                                  _next_pow2(max(3 * scaled // 2, 4096))))
             self._flat_caps[pad] = want
             if total:
+                t0 = time_mod.perf_counter() if timing_on else 0.0
                 if total <= int(sliced.shape[1]):
                     flat = np.asarray(sliced)  # already streaming
                 else:  # cap undershot this batch: one corrective round trip
                     tw = min(int(out["flat"].shape[1]), _trim_width(total))
                     flat = np.asarray(out["flat"][:, :tw])
+                if timing_on:
+                    _t("drain_flat_wait", t0)
                 rpos_all = flat[0] & 0x1FFFFFFF
                 sbits_all = (flat[0] >> 29) & 3
             for row, i in rows.items():
@@ -357,18 +424,49 @@ class DeviceMapper:
                     lo,
                 )
 
+        def ready_results():
+            # deliver strictly in input order, as soon as a read's batch has
+            # drained: the consumer's chaining/tally work then overlaps the
+            # wire + device time of later batches instead of serializing
+            # after the final drain. The drainer thread only ever ADDS keys
+            # to `results` (dict ops are GIL-atomic), the main thread pops.
+            i = next_yield[0]
+            while i < len(pending) and i in results:
+                name, length = pending[i]
+                pending[i] = None  # free; slot is never revisited
+                yield name, length, results.pop(i)
+                i += 1
+            next_yield[0] = i
+
         def flush_all():
             for pad, idxs in list(buckets.items()):
                 if idxs:
                     flush_bucket(pad, idxs)
             buckets.clear()
+            feed_q.join()
             work_q.join()
-            if drain_err:
-                raise drain_err[0]
-            for i, (name, length) in enumerate(pending):
-                yield name, length, results[i]
+            if pipe_err:
+                raise pipe_err[0]
+            for i in range(next_yield[0], len(pending)):
+                name, length = pending[i]
+                yield name, length, results.pop(i)
             pending.clear()
             results.clear()
+            next_yield[0] = 0
+
+        if timing_on:
+            def _timed_pull(it):
+                it = iter(it)
+                while True:
+                    t0 = time_mod.perf_counter()
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        return
+                    _t("reader_pull", t0)
+                    yield item
+
+            named_seqs = _timed_pull(named_seqs)
 
         try:
             budget = 0
@@ -387,6 +485,7 @@ class DeviceMapper:
                     or (codes > 3).any()
                 ):
                     results[i] = self._host_map_raw(codes)
+                    yield from ready_results()
                     continue
                 encoded[i] = codes
                 pad = self._pad_len(len(seq))
@@ -398,12 +497,27 @@ class DeviceMapper:
                 if len(bucket) >= cap:
                     flush_bucket(pad, bucket)
                     buckets[pad] = []
+                    yield from ready_results()
                 budget += pad
                 if budget >= 4 * self.batch_bases:
                     yield from flush_all()
                     budget = 0
             yield from flush_all()
         finally:
+            if feeder:
+                feed_q.put(None)
+                feeder[0].join(timeout=60)
             if drainer:
                 work_q.put(None)
                 drainer[0].join(timeout=60)
+            if timing_on and tacc:
+                import sys
+
+                print(
+                    "# ntlink timing: "
+                    + " ".join(
+                        f"{k}={tacc[k]:.3f}s/{tN[k]}"
+                        for k in sorted(tacc)
+                    ),
+                    file=sys.stderr,
+                )

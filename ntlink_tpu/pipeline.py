@@ -120,8 +120,12 @@ def _write_verbose(fh, name, runs) -> None:
 
 
 # reads per native chain_batch call: one C crossing + one verbose write per
-# group instead of per read (~8k reads x ~150 anchors x 16 B ~= 20 MB peak)
-CHAIN_GROUP = 8192
+# group instead of per read. Sized to roughly one device batch so the C
+# chaining + tally of batch N overlap the wire/device time of batches N+1..
+# (map_stream_raw yields each read as soon as its batch drains); still large
+# enough that the per-call overhead is negligible (~1k reads x ~150 anchors
+# x 16 B ~= 2.5 MB per call)
+CHAIN_GROUP = 1024
 
 
 def _repeat_filter_batch(np, offs, arrays, hi, lo):
