@@ -266,19 +266,37 @@ def device_run() -> None:
         for name, seq in reads:
             fh.write(f">{name}\n{seq}\n")
     n_bases = sum(len(s) for _, s in reads)
+    batch_bases = int(os.environ.get("NTLINK_BENCH_BATCH_BASES", 16_000_000))
     cfg = ScaffoldConfig(
-        k=K, w=W, z=Z, reads=[reads_fa], batch_bases=16_000_000
+        k=K, w=W, z=Z, reads=[reads_fa], batch_bases=batch_bases
     )
     import jax
 
     device_kind = jax.devices()[0].device_kind
+    # link weather snapshot (helps interpret run-to-run swings: the shared
+    # tunnel to the chip has been observed from ~19 MB/s down to <0.1 MB/s)
+    link = {}
+    try:
+        buf = np.random.default_rng(int(time.time())).integers(
+            0, 256, 4 << 20, dtype=np.uint8
+        )
+        t0 = time.time()
+        d = jax.device_put(buf)
+        d.block_until_ready()
+        link["link_mbps_h2d"] = round(buf.nbytes / (time.time() - t0) / 1e6, 1)
+        t0 = time.time()
+        np.asarray(d)
+        link["link_mbps_d2h"] = round(buf.nbytes / (time.time() - t0) / 1e6, 1)
+    except Exception:
+        pass
+    print(f"# link: {link}", file=sys.stderr)
     # warmup (compiles the bucket shapes used by the run)
     warm_fa = "/tmp/ntlink_bench_warm.fa"
     with open(warm_fa, "w") as fh:
         for name, seq in reads[:64]:
             fh.write(f">{name}\n{seq}\n")
     warm_cfg = ScaffoldConfig(
-        k=K, w=W, z=Z, reads=[warm_fa], batch_bases=16_000_000
+        k=K, w=W, z=Z, reads=[warm_fa], batch_bases=batch_bases
     )
     pipeline.map_reads(warm_cfg, index, contig_lengths, None, None)
 
@@ -315,7 +333,7 @@ def device_run() -> None:
         print(f"# kernel bench unavailable: {exc}", file=sys.stderr)
         extra = {}
     print(f"# kernels: {extra}", file=sys.stderr)
-    print(json.dumps({"reads_per_s": n_reads / dev_t, **extra}))
+    print(json.dumps({"reads_per_s": n_reads / dev_t, **link, **extra}))
 
 
 def main():
@@ -326,13 +344,16 @@ def main():
     # re-establishes the claim cleanly.
     dev_rps = None
     extra = {}
-    for attempt in range(3):
+    # 4 attempts with growing backoff: a wedged tunnel (killed TPU process
+    # upstream) typically recovers after a few quiet minutes
+    backoffs = (20, 90, 240)
+    for attempt in range(4):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--device"],
                 capture_output=True,
                 text=True,
-                timeout=420 if attempt < 2 else 560,
+                timeout=420 if attempt < 3 else 560,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             for line in proc.stderr.splitlines():
@@ -350,7 +371,7 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"# device attempt {attempt+1} timed out; retrying",
                   file=sys.stderr)
-        time.sleep(20)
+        time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
 
     from ntlink_tpu.config import ScaffoldConfig
 

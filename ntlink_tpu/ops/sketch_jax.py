@@ -384,11 +384,64 @@ class JaxSketcher:
         native = fastx_module()
         step = _sketch_step()
 
+        import queue as queue_mod
+        import threading
+
         pending: List[Tuple[str, int]] = []   # (name, length)
         results: Dict[int, Minimizers] = {}
         encoded: Dict[int, np.ndarray] = {}
         buckets: Dict[int, List[int]] = {}
-        in_flight: List[tuple] = []
+        next_yield = [0]  # front of the in-order delivery window
+
+        # same three-thread pipeline as device_map.map_stream_raw: the
+        # feeder owns every device call (per-dispatch link round trips
+        # overlap the main thread's reading/packing/TSV rendering), the
+        # drainer owns the blocking D2H waits (jax releases the GIL there)
+        feed_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+        work_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+        pipe_err: List[BaseException] = []
+        feeder: List[threading.Thread] = []
+        drainer: List[threading.Thread] = []
+
+        def feed_loop() -> None:
+            while True:
+                ent = feed_q.get()
+                try:
+                    if ent is not None and not pipe_err:
+                        dispatch_batch(*ent)
+                except BaseException as exc:
+                    pipe_err.append(exc)
+                finally:
+                    feed_q.task_done()
+                if ent is None:
+                    return
+
+        def drain_loop() -> None:
+            while True:
+                ent = work_q.get()
+                try:
+                    if ent is not None and not pipe_err:
+                        drain(*ent)
+                except BaseException as exc:
+                    pipe_err.append(exc)
+                finally:
+                    work_q.task_done()
+                if ent is None:
+                    return
+
+        def ensure_threads() -> None:
+            if not drainer:
+                t = threading.Thread(
+                    target=drain_loop, daemon=True, name="ntlink-sk-drain"
+                )
+                t.start()
+                drainer.append(t)
+            if not feeder:
+                t = threading.Thread(
+                    target=feed_loop, daemon=True, name="ntlink-sk-feed"
+                )
+                t.start()
+                feeder.append(t)
 
         def bucket_rows(pad: int) -> int:
             b = 1
@@ -414,6 +467,10 @@ class JaxSketcher:
                 for row, c in enumerate(row_codes):
                     codes[row, : len(c)] = c
                 packed = pack_codes(codes)
+            ensure_threads()
+            feed_q.put((packed, lengths, pad, dict(enumerate(idxs)), row_codes, B))
+
+        def dispatch_batch(packed, lengths, pad, rows, row_codes, B) -> None:
             # fused Pallas sketch core on real TPU (single VMEM tile up
             # to L=16384, column-chunked beyond); XLA lowering elsewhere
             from .sketch_pallas import pallas_mode
@@ -437,11 +494,7 @@ class JaxSketcher:
                 sliced.copy_to_host_async()
             except Exception:
                 pass
-            in_flight.append(
-                (out, sliced, pad, dict(enumerate(idxs)), row_codes, B)
-            )
-            if len(in_flight) > 1:
-                drain(*in_flight.pop(0))
+            work_q.put((out, sliced, pad, rows, row_codes, B))
 
         def drain(out, sliced, pad, rows, row_codes, B) -> None:
             meta = np.asarray(out["meta"])
@@ -488,38 +541,64 @@ class JaxSketcher:
                     (pos_strand >> 30).astype(bool),
                 )
 
+        def ready_results():
+            # deliver strictly in input order as soon as a batch drains, so
+            # the consumer's TSV rendering / downstream work overlaps later
+            # batches' wire+device time (drainer only ADDS keys, main pops)
+            i = next_yield[0]
+            while i < len(pending) and i in results:
+                name, length = pending[i]
+                pending[i] = None
+                yield name, length, results.pop(i)
+                i += 1
+            next_yield[0] = i
+
         def flush_all():
             for pad, idxs in list(buckets.items()):
                 if idxs:
                     flush_bucket(pad, idxs)
             buckets.clear()
-            while in_flight:
-                drain(*in_flight.pop(0))
-            for i, (name, length) in enumerate(pending):
-                yield name, length, results[i]
+            feed_q.join()
+            work_q.join()
+            if pipe_err:
+                raise pipe_err[0]
+            for i in range(next_yield[0], len(pending)):
+                name, length = pending[i]
+                yield name, length, results.pop(i)
             pending.clear()
             results.clear()
+            next_yield[0] = 0
 
-        budget = 0
-        for name, seq in named_seqs:
-            i = len(pending)
-            pending.append((name, len(seq)))
-            codes = (
-                seq if isinstance(seq, np.ndarray) else nthash_np.encode(seq)
-            )
-            if len(codes) < k or len(codes) > self.MAX_PAD or (codes > 3).any():
-                # numpy path: short, N-containing, or oversized sequences
-                results[i] = nthash_np.sketch_codes(codes, k, w)
-                continue
-            encoded[i] = codes
-            pad = self._pad_len(len(codes))
-            bucket = buckets.setdefault(pad, [])
-            bucket.append(i)
-            if len(bucket) >= bucket_rows(pad):
-                flush_bucket(pad, bucket)
-                buckets[pad] = []
-            budget += pad
-            if budget >= 4 * self.batch_bases:
-                yield from flush_all()
-                budget = 0
-        yield from flush_all()
+        try:
+            budget = 0
+            for name, seq in named_seqs:
+                i = len(pending)
+                pending.append((name, len(seq)))
+                codes = (
+                    seq if isinstance(seq, np.ndarray) else nthash_np.encode(seq)
+                )
+                if len(codes) < k or len(codes) > self.MAX_PAD or (codes > 3).any():
+                    # numpy path: short, N-containing, or oversized sequences
+                    results[i] = nthash_np.sketch_codes(codes, k, w)
+                    yield from ready_results()
+                    continue
+                encoded[i] = codes
+                pad = self._pad_len(len(codes))
+                bucket = buckets.setdefault(pad, [])
+                bucket.append(i)
+                if len(bucket) >= bucket_rows(pad):
+                    flush_bucket(pad, bucket)
+                    buckets[pad] = []
+                    yield from ready_results()
+                budget += pad
+                if budget >= 4 * self.batch_bases:
+                    yield from flush_all()
+                    budget = 0
+            yield from flush_all()
+        finally:
+            if feeder:
+                feed_q.put(None)
+                feeder[0].join(timeout=60)
+            if drainer:
+                work_q.put(None)
+                drainer[0].join(timeout=60)
