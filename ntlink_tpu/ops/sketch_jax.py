@@ -223,8 +223,9 @@ def sliding_hashes(codes, k: int, shift):
     return fh_hi, accF[2], rh_hi, accR[2]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
+                        compact_invalid: bool = False):
     """Sketch a (B, L) uint8 code batch. Returns per-position hash data and
     per-window winners:
 
@@ -237,6 +238,16 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
       fwd:           (B, L) strand flags (fh <= rh), same column scope
       winner:        (B, NW) leftmost argmin position of each window
       emit:          (B, NW) mask: winner differs from previous window's
+
+    `compact_invalid=True` selects the reference N semantics for rows with
+    interior non-ACGT bases (indexlr / nthash_np.sketch_codes:176-182): the
+    minimizer windows run over the sequence of *valid* k-mers — windows span
+    N gaps, and a valid stretch shorter than w emits nothing. Implemented as
+    a stable partition of valid k-mers to the row front (one bool argsort +
+    gathers), the same positional window-min over the compacted row with the
+    per-row valid count as effective length, then winners mapped back to
+    original positions. With no interior invalid k-mers the compaction is
+    the identity, but costs the argsort — keep it off for clean batches.
     """
     B, L = codes.shape
     M = L - k + 1
@@ -270,6 +281,16 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
     key_hi = jnp.where(invalid, FULL, can_hi)
     key_lo = jnp.where(invalid, FULL, can_lo)
 
+    if compact_invalid:
+        # stable partition: valid k-mers to the row front in original order
+        order = jnp.argsort(invalid, axis=1, stable=True)
+        valid_idx = jnp.take_along_axis(pos, order, axis=1)
+        key_hi = jnp.take_along_axis(key_hi, order, axis=1)
+        key_lo = jnp.take_along_axis(key_lo, order, axis=1)
+        n_kmers = (~invalid).sum(axis=1).astype(jnp.int32)
+    else:
+        n_kmers = jnp.maximum(lengths - k + 1, 0)
+
     # sliding leftmost-argmin via log-doubling (keep-left on ties)
     m_hi, m_lo = key_hi, key_lo
     m_idx = pos
@@ -299,10 +320,15 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
     prev = jnp.concatenate(
         [jnp.full((B, 1), -1, winner.dtype), winner[:, :-1]], axis=1
     )
-    # a window is fully valid only if it fits inside the sequence
-    n_win = jnp.maximum(lengths - k + 1 - w + 1, 0)
+    # a window is fully valid only if it fits inside the (compacted) row
+    n_win = jnp.maximum(n_kmers - w + 1, 0)
     wpos = jax.lax.broadcasted_iota(jnp.int32, (B, NW), 1)
     emit = (winner != prev) & (wpos < n_win[:, None]) & win_valid
+    if compact_invalid:
+        # winners are compacted-row indices: map back to original positions
+        winner = jnp.take_along_axis(
+            valid_idx, jnp.clip(winner, 0, L - 1), axis=1
+        )
     return can_hi, can_lo, fwd, winner, emit
 
 
@@ -326,9 +352,10 @@ def _sketch_step():
     from ..parallel.mesh import sketch_step_packed
 
     @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-    def step(packed, lengths, k, w, L, max_mins, use_pallas):
+    def step(packed, lengths, k, w, L, max_mins, use_pallas, nmask=None):
         return sketch_step_packed(
-            packed, lengths, k, w, L, max_mins, use_pallas=use_pallas
+            packed, lengths, k, w, L, max_mins, use_pallas=use_pallas,
+            nmask=nmask,
         )
 
     return step
@@ -339,9 +366,14 @@ _SKETCH_FLAT_CAPS: dict = {}
 
 
 class JaxSketcher:
-    """Batched device sketcher with NumPy fallback for N-containing reads.
+    """Batched device sketcher (NumPy fallback only for sub-k/oversized rows).
 
-    Uses the compacted sketch step: device->host transfers are
+    N-containing sequences (draft scaffolds are full of N gap runs — the
+    primary input of scaffolding rounds >= 2) batch onto the device too, via
+    a 1-bit/base non-ACGT mask and the compacted-window kernel variant
+    (reference semantics: minimizer windows run over w consecutive *valid*
+    k-mers, spanning gaps; nthash_np.sketch_codes is the pinned ground
+    truth). Uses the compacted sketch step: device->host transfers are
     O(minimizers), not O(bases) — essential over slow links and at
     assembly scale.
     """
@@ -449,14 +481,29 @@ class JaxSketcher:
                 b <<= 1
             return b
 
-        def flush_bucket(pad: int, idxs: List[int]) -> None:
+        def flush_bucket(key: tuple, idxs: List[int]) -> None:
+            pad, has_n = key
             B = bucket_rows(pad)
             assert len(idxs) <= B
             row_codes = [encoded.pop(i) for i in idxs]
             lengths = np.zeros(B, dtype=np.int32)
             lengths[: len(idxs)] = [len(c) for c in row_codes]
+            nmask = None
+            if has_n:
+                # 2-bit packing cannot carry N: clean codes to 0 and ship a
+                # 1-bit/base non-ACGT mask alongside (2.25 bits/base total)
+                bad = np.zeros((B, pad), dtype=bool)
+                clean = []
+                for row, c in enumerate(row_codes):
+                    b = c > 3
+                    bad[row, : len(c)] = b
+                    clean.append(np.where(b, 0, c).astype(np.uint8))
+                row_codes_pack = clean
+                nmask = np.packbits(bad, axis=1, bitorder="little")
+            else:
+                row_codes_pack = row_codes
             if native is not None:
-                buf = native.pack_batch(row_codes, pad)
+                buf = native.pack_batch(row_codes_pack, pad)
                 packed = np.frombuffer(buf, dtype=np.uint8).reshape(-1, pad // 4)
                 if packed.shape[0] < B:
                     packed = np.vstack(
@@ -464,21 +511,29 @@ class JaxSketcher:
                     )
             else:
                 codes = np.zeros((B, pad), dtype=np.uint8)
-                for row, c in enumerate(row_codes):
+                for row, c in enumerate(row_codes_pack):
                     codes[row, : len(c)] = c
                 packed = pack_codes(codes)
             ensure_threads()
-            feed_q.put((packed, lengths, pad, dict(enumerate(idxs)), row_codes, B))
+            feed_q.put(
+                (packed, nmask, lengths, pad, dict(enumerate(idxs)), row_codes, B)
+            )
 
-        def dispatch_batch(packed, lengths, pad, rows, row_codes, B) -> None:
+        def dispatch_batch(packed, nmask, lengths, pad, rows, row_codes, B) -> None:
             # fused Pallas sketch core on real TPU (single VMEM tile up
-            # to L=16384, column-chunked beyond); XLA lowering elsewhere
+            # to L=16384, column-chunked beyond); XLA lowering elsewhere.
+            # N batches take the XLA compacted-window kernel.
             from .sketch_pallas import pallas_mode
 
-            use_pallas = pallas_mode(pad) if B % 8 == 0 else False
+            use_pallas = (
+                False
+                if nmask is not None
+                else (pallas_mode(pad) if B % 8 == 0 else False)
+            )
             out = step(
                 jnp.asarray(packed), jnp.asarray(lengths), k, w, pad,
                 self._slots_for(pad, w), use_pallas,
+                None if nmask is None else jnp.asarray(nmask),
             )
             # async copies at dispatch: metadata plus an adaptively capped
             # minimizer prefix stream while the host packs the next batch
@@ -554,9 +609,9 @@ class JaxSketcher:
             next_yield[0] = i
 
         def flush_all():
-            for pad, idxs in list(buckets.items()):
+            for key, idxs in list(buckets.items()):
                 if idxs:
-                    flush_bucket(pad, idxs)
+                    flush_bucket(key, idxs)
             buckets.clear()
             feed_q.join()
             work_q.join()
@@ -577,18 +632,21 @@ class JaxSketcher:
                 codes = (
                     seq if isinstance(seq, np.ndarray) else nthash_np.encode(seq)
                 )
-                if len(codes) < k or len(codes) > self.MAX_PAD or (codes > 3).any():
-                    # numpy path: short, N-containing, or oversized sequences
+                if len(codes) < k or len(codes) > self.MAX_PAD:
+                    # numpy path: short or oversized sequences
                     results[i] = nthash_np.sketch_codes(codes, k, w)
                     yield from ready_results()
                     continue
                 encoded[i] = codes
                 pad = self._pad_len(len(codes))
-                bucket = buckets.setdefault(pad, [])
+                # N-containing rows (draft scaffolds' gap runs) batch
+                # separately: compacted-window XLA kernel + 1-bit N mask
+                key = (pad, bool((codes > 3).any()))
+                bucket = buckets.setdefault(key, [])
                 bucket.append(i)
                 if len(bucket) >= bucket_rows(pad):
-                    flush_bucket(pad, bucket)
-                    buckets[pad] = []
+                    flush_bucket(key, bucket)
+                    buckets[key] = []
                     yield from ready_results()
                 budget += pad
                 if budget >= 4 * self.batch_bases:

@@ -148,6 +148,16 @@ def unpack_codes(packed: jnp.ndarray, L: int) -> jnp.ndarray:
     return expanded.reshape(B, L)
 
 
+def unpack_bits(packed: jnp.ndarray, L: int) -> jnp.ndarray:
+    """(B, L//8) bit-packed uint8 (little bit order, np.packbits
+    bitorder='little') -> (B, L) bool. Same fusion fence as unpack_codes."""
+    B = packed.shape[0]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    expanded = (packed[:, :, None] >> shifts[None, None, :]) & 1
+    expanded = jax.lax.optimization_barrier(expanded)
+    return expanded.reshape(B, L).astype(jnp.bool_)
+
+
 def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
                         k: int, w: int, L: int, mask: int, max_probes: int,
                         max_anchors: int, use_pallas: bool = False,
@@ -224,7 +234,7 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
 
 
 def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int,
-                       use_pallas: bool = False):
+                       use_pallas: bool = False, nmask=None):
     """Sketch-only fused step: unpack -> hash -> window-min -> global
     compaction (same output contract as the mapping step: `meta` =
     [counts | n_minimizers] and `flat` = (3, B*S) int32 planes
@@ -232,9 +242,26 @@ def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int,
     Transfers are O(minimizers); powers the indexlr-equivalent contig TSV
     sketching at scale. `use_pallas` selects the fused Pallas sketch core
     (TPU only, same gating as the mapping step).
+
+    `nmask` (optional, (B, L//8) bit-packed uint8) marks non-ACGT bases for
+    batches of N-containing rows (draft scaffolds are full of N gaps — the
+    primary input of rounds >= 2). Those batches take the compacted-window
+    kernel (reference N semantics: windows of w consecutive *valid* k-mers
+    spanning gaps) on the XLA lowering; `use_pallas` must be False.
     """
     codes = unpack_codes(packed, L)
-    if use_pallas == "chunked":
+    if nmask is not None:
+        assert not use_pallas, "N batches take the XLA compacted kernel"
+        # sentinel 4 re-materializes the non-ACGT positions the 2-bit
+        # packing cannot carry; the kernel invalidates k-mers covering them
+        codes = jnp.where(unpack_bits(nmask, L), jnp.uint8(4), codes)
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
+            codes, lengths, k, w, compact_invalid=True
+        )
+        can_hi, can_lo, fwd, winner, emit = jax.lax.optimization_barrier(
+            (can_hi, can_lo, fwd, winner, emit)
+        )
+    elif use_pallas == "chunked":
         from ..ops.sketch_pallas import sketch_batch_pallas_chunked
 
         can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas_chunked(
