@@ -5,9 +5,11 @@ This is the engine's hot path. Reads stream into padded, length-bucketed
 jitted step per batch unpacks, sketches, compacts the selected minimizers,
 joins them against the replicated contig hash table, and compacts matched
 anchors — so the device->host transfer is O(anchors). The host then runs the
-exact-order chaining/tally stages. Reads the device cannot handle exactly
-(interior N, oversized, or minimizer-slot overflow) fall back to the NumPy
-sketch + dict join, preserving bit-exact semantics everywhere.
+exact-order chaining/tally stages. Reads with interior N batch on-device too
+(single-device path: 1-bit N mask + compacted-window kernel, reference
+semantics); reads the device cannot handle exactly (sub-k, oversized,
+minimizer-slot overflow, or N under the sharded steps) fall back to the
+NumPy sketch + dict join, preserving bit-exact semantics everywhere.
 
 With more than one device, the same step runs sharded over a 1-D data mesh
 (rows split across chips, table replicated) — see parallel.mesh.
@@ -45,11 +47,12 @@ def _single_device_step():
 
     @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
     def jstep(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
-              k, w, L_, mask, probes, anchors, pallas_flag, with_hashes):
+              k, w, L_, mask, probes, anchors, pallas_flag, with_hashes,
+              nmask=None):
         return mapping_step_packed(
             packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
             k, w, L_, mask, probes, anchors, use_pallas=pallas_flag,
-            with_hashes=with_hashes,
+            with_hashes=with_hashes, nmask=nmask,
         )
 
     return jstep
@@ -129,11 +132,12 @@ class DeviceMapper:
             pmode = pallas_mode(L)
             jstep = _single_device_step()
             d = self.didx
-            step = lambda packed, lengths, didx: jstep(
+            step = lambda packed, lengths, didx, nmask=None: jstep(
                 packed, lengths, d.t_hi, d.t_lo, d.t_cid, d.t_pos, d.t_strand,
                 self.k, self.w, L, d.mask, d.max_probes, key[1],
-                pmode if packed.shape[0] % 8 == 0 else False,
-                self.with_hashes,
+                (pmode if packed.shape[0] % 8 == 0 else False)
+                if nmask is None else False,
+                self.with_hashes, nmask,
             )
         self._steps[key] = step
         return step
@@ -219,8 +223,11 @@ class DeviceMapper:
         pending: List[Tuple[str, int]] = []   # (name, length)
         results: Dict[int, list] = {}
         encoded: Dict[int, np.ndarray] = {}
-        buckets: Dict[int, List[int]] = {}
+        buckets: Dict[tuple, List[int]] = {}  # (pad, has_n) -> read idxs
         next_yield = [0]  # front of the in-order delivery window
+        # N-containing reads can batch on-device only where the step has
+        # nmask plumbing: the single-device replicated-index path
+        device_n_ok = self.n_devices == 1 and self.index_sharding == "replicated"
 
         import os
         import queue as queue_mod
@@ -297,7 +304,8 @@ class DeviceMapper:
                 t.start()
                 feeder.append(t)
 
-        def flush_bucket(pad: int, idxs: List[int]) -> None:
+        def flush_bucket(key: tuple, idxs: List[int]) -> None:
+            pad, has_n = key
             # fixed batch height per bucket: exactly one compile per bucket
             B = max(
                 self.n_devices,
@@ -309,8 +317,22 @@ class DeviceMapper:
             lengths[: len(idxs)] = [len(c) for c in row_codes]
             rows = dict(enumerate(idxs))
             t0 = time_mod.perf_counter() if timing_on else 0.0
+            nmask = None
+            if has_n:
+                # 2-bit packing cannot carry N: clean codes to 0 and ship a
+                # 1-bit/base non-ACGT mask alongside (2.25 bits/base total)
+                bad = np.zeros((B, pad), dtype=bool)
+                clean = []
+                for row, c in enumerate(row_codes):
+                    b = c > 3
+                    bad[row, : len(c)] = b
+                    clean.append(np.where(b, 0, c).astype(np.uint8))
+                row_codes_pack = clean
+                nmask = np.packbits(bad, axis=1, bitorder="little")
+            else:
+                row_codes_pack = row_codes
             if native is not None:
-                buf = native.pack_batch(row_codes, pad)
+                buf = native.pack_batch(row_codes_pack, pad)
                 packed = np.frombuffer(buf, dtype=np.uint8).reshape(-1, pad // 4)
                 if packed.shape[0] < B:
                     packed = np.vstack(
@@ -318,18 +340,18 @@ class DeviceMapper:
                     )
             else:
                 codes = np.zeros((B, pad), dtype=np.uint8)
-                for row, c in enumerate(row_codes):
+                for row, c in enumerate(row_codes_pack):
                     codes[row, : len(c)] = c
                 packed = pack_codes(codes)
             if timing_on:
                 _t("pack", t0)
                 t0 = time_mod.perf_counter()
             ensure_threads()
-            feed_q.put((packed, lengths, pad, rows, row_codes))
+            feed_q.put((packed, nmask, lengths, pad, rows, row_codes))
             if timing_on:
                 _t("feed_enqueue_wait", t0)
 
-        def dispatch_batch(packed, lengths, pad, rows, row_codes) -> None:
+        def dispatch_batch(packed, nmask, lengths, pad, rows, row_codes) -> None:
             # feeder thread: every device call for this batch (the main
             # thread never blocks on a tunnel RTT)
             t0 = time_mod.perf_counter() if timing_on else 0.0
@@ -339,7 +361,12 @@ class DeviceMapper:
             if timing_on:
                 _t("h2d_put", t0)
                 t0 = time_mod.perf_counter()
-            out = step(dev_packed, dev_lengths, self.didx)  # async dispatch
+            if nmask is None:
+                out = step(dev_packed, dev_lengths, self.didx)  # async dispatch
+            else:  # single-device replicated path only (see map_stream_raw)
+                out = step(
+                    dev_packed, dev_lengths, self.didx, jnp.asarray(nmask)
+                )
             if timing_on:
                 _t("dispatch", t0)
                 t0 = time_mod.perf_counter()
@@ -439,9 +466,9 @@ class DeviceMapper:
             next_yield[0] = i
 
         def flush_all():
-            for pad, idxs in list(buckets.items()):
+            for key, idxs in list(buckets.items()):
                 if idxs:
-                    flush_bucket(pad, idxs)
+                    flush_bucket(key, idxs)
             buckets.clear()
             feed_q.join()
             work_q.join()
@@ -479,24 +506,29 @@ class DeviceMapper:
                     else nthash_np.encode(payload)
                 )
                 seq = payload
+                has_n = bool((codes > 3).any())
                 if (
                     len(seq) < self.k
                     or len(seq) > self.MAX_PAD
-                    or (codes > 3).any()
+                    or (has_n and not device_n_ok)
                 ):
+                    # exact host path: sub-k/oversized rows always; rows
+                    # with N only where the sharded steps lack nmask
+                    # plumbing (mesh / hash-sharded index)
                     results[i] = self._host_map_raw(codes)
                     yield from ready_results()
                     continue
                 encoded[i] = codes
                 pad = self._pad_len(len(seq))
-                bucket = buckets.setdefault(pad, [])
+                key = (pad, has_n)
+                bucket = buckets.setdefault(key, [])
                 bucket.append(i)
                 cap = max(
                     self.n_devices, _next_pow2(max(1, self.batch_bases // pad))
                 )
                 if len(bucket) >= cap:
-                    flush_bucket(pad, bucket)
-                    buckets[pad] = []
+                    flush_bucket(key, bucket)
+                    buckets[key] = []
                     yield from ready_results()
                 budget += pad
                 if budget >= 4 * self.batch_bases:

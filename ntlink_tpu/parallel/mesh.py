@@ -161,7 +161,7 @@ def unpack_bits(packed: jnp.ndarray, L: int) -> jnp.ndarray:
 def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
                         k: int, w: int, L: int, mask: int, max_probes: int,
                         max_anchors: int, use_pallas: bool = False,
-                        with_hashes: bool = True):
+                        with_hashes: bool = True, nmask=None):
     """Fused mapping step: unpack -> sketch -> compact minimizers ->
     hash-join -> global anchor compaction. Outputs are O(anchors), not
     O(bases): `meta` = per-read [counts | n_minimizers] (2B,) and `flat` =
@@ -169,10 +169,19 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
     plane 0 read positions (strand bits in bits 29/30), plane 1 contig ids,
     plane 2 contig positions, planes 3/4 hash halves only when
     `with_hashes` (repeat filter). `use_pallas` selects the fused Pallas
-    sketch core (TPU only).
+    sketch core (TPU only). `nmask` ((B, L//8) bit-packed uint8) batches
+    N-containing reads through the compacted-window kernel (reference N
+    semantics) instead of the per-read host fallback; requires
+    `use_pallas=False`.
     """
     codes = unpack_codes(packed, L)
-    if use_pallas == "chunked":
+    if nmask is not None:
+        assert not use_pallas, "N batches take the XLA compacted kernel"
+        codes = jnp.where(unpack_bits(nmask, L), jnp.uint8(4), codes)
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
+            codes, lengths, k, w, compact_invalid=True
+        )
+    elif use_pallas == "chunked":
         from ..ops.sketch_pallas import sketch_batch_pallas_chunked
 
         can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas_chunked(

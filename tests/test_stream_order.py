@@ -29,10 +29,15 @@ def workload():
     for i in range(70):
         # alternate pad buckets (1024 and 2048) plus host-fallback shapes
         if i % 11 == 10:
-            # interior N -> host fallback
+            # interior N (single-device: batches via the compacted-window
+            # device path; sharded: host fallback) — alternate a lone N
+            # and a long run
             start = int(rng.integers(0, 100_000))
             seq = contig[start : start + 900]
-            seq = seq[:400] + "N" + seq[401:]
+            if i % 22 == 10:
+                seq = seq[:400] + "N" + seq[401:]
+            else:
+                seq = seq[:300] + "N" * 60 + seq[360:]
         elif i % 7 == 6:
             seq = "ACG"  # shorter than k -> host fallback
         else:
