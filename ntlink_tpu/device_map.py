@@ -6,10 +6,10 @@ jitted step per batch unpacks, sketches, compacts the selected minimizers,
 joins them against the replicated contig hash table, and compacts matched
 anchors — so the device->host transfer is O(anchors). The host then runs the
 exact-order chaining/tally stages. Reads with interior N batch on-device too
-(single-device path: 1-bit N mask + compacted-window kernel, reference
-semantics); reads the device cannot handle exactly (sub-k, oversized,
-minimizer-slot overflow, or N under the sharded steps) fall back to the
-NumPy sketch + dict join, preserving bit-exact semantics everywhere.
+(every step variant: 1-bit N mask + compacted-window kernel, reference
+semantics); reads the device cannot handle exactly (sub-k, oversized, or
+minimizer-slot overflow) fall back to the NumPy sketch + dict join,
+preserving bit-exact semantics everywhere.
 
 With more than one device, the same step runs sharded over a 1-D data mesh
 (rows split across chips, table replicated) — see parallel.mesh.
@@ -225,9 +225,10 @@ class DeviceMapper:
         encoded: Dict[int, np.ndarray] = {}
         buckets: Dict[tuple, List[int]] = {}  # (pad, has_n) -> read idxs
         next_yield = [0]  # front of the in-order delivery window
-        # N-containing reads can batch on-device only where the step has
-        # nmask plumbing: the single-device replicated-index path
-        device_n_ok = self.n_devices == 1 and self.index_sharding == "replicated"
+        # every mapping step variant (single device, data mesh, hash-sharded
+        # index) has nmask plumbing, so N-containing reads always batch
+        # on-device; only sub-k/oversized rows take the host fallback
+        device_n_ok = True
 
         import os
         import queue as queue_mod
@@ -363,7 +364,7 @@ class DeviceMapper:
                 t0 = time_mod.perf_counter()
             if nmask is None:
                 out = step(dev_packed, dev_lengths, self.didx)  # async dispatch
-            else:  # single-device replicated path only (see map_stream_raw)
+            else:  # replicated-index paths only (see map_stream_raw)
                 out = step(
                     dev_packed, dev_lengths, self.didx, jnp.asarray(nmask)
                 )
@@ -512,9 +513,7 @@ class DeviceMapper:
                     or len(seq) > self.MAX_PAD
                     or (has_n and not device_n_ok)
                 ):
-                    # exact host path: sub-k/oversized rows always; rows
-                    # with N only where the sharded steps lack nmask
-                    # plumbing (mesh / hash-sharded index)
+                    # exact host path: sub-k / oversized rows
                     results[i] = self._host_map_raw(codes)
                     yield from ready_results()
                     continue

@@ -409,10 +409,37 @@ def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
             k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
         )
 
-    return lambda packed, lengths, didx: step(
-        packed, lengths, didx.t_hi, didx.t_lo, didx.t_cid, didx.t_pos,
-        didx.t_strand, k, w, L, mask, max_probes, max_anchors, with_hashes,
+    @functools.partial(
+        jax.jit,
+        static_argnums=(8, 9, 10, 11, 12, 13, 14),
+        in_shardings=(
+            data_sharding, NamedSharding(mesh, P("data")),
+            repl, repl, repl, repl, repl, data_sharding,
+        ),
     )
+    def step_n(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand, nmask,
+               k_, w_, L_, mask_, probes_, anchors_, with_hashes_):
+        # N batch: rows shard like the code rows; compacted-window kernel
+        return mapping_step_packed(
+            packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+            k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
+            nmask=nmask,
+        )
+
+    def run(packed, lengths, didx, nmask=None):
+        if nmask is None:
+            return step(
+                packed, lengths, didx.t_hi, didx.t_lo, didx.t_cid,
+                didx.t_pos, didx.t_strand, k, w, L, mask, max_probes,
+                max_anchors, with_hashes,
+            )
+        return step_n(
+            packed, lengths, didx.t_hi, didx.t_lo, didx.t_cid, didx.t_pos,
+            didx.t_strand, nmask, k, w, L, mask, max_probes, max_anchors,
+            with_hashes,
+        )
+
+    return run
 
 
 def dryrun(n_devices: int, k: int = 32, w: int = 100) -> None:
@@ -443,3 +470,17 @@ def dryrun(n_devices: int, k: int = 32, w: int = 100) -> None:
     jax.block_until_ready(out)
     n_anchors = int(out["n_anchors"])
     assert n_anchors >= len(mins), "sharded join lost anchors"
+
+    # N-batch variant: plant an N run in every row; the compacted-window
+    # kernel must compile + run under the same shardings and still find
+    # the anchors outside the gap
+    bad = np.zeros((B, L), dtype=bool)
+    bad[:, 700:760] = True
+    codes_n = np.where(bad, 0, codes).astype(np.uint8)
+    nmask = np.packbits(bad, axis=1, bitorder="little")
+    out_n = step(
+        jnp.asarray(pack_codes(codes_n)), jnp.asarray(lengths), didx,
+        jnp.asarray(nmask),
+    )
+    jax.block_until_ready(out_n)
+    assert int(out_n["n_anchors"]) > 0, "sharded N join found no anchors"

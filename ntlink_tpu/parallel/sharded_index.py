@@ -127,18 +127,21 @@ def make_mesh_2d(idx_shards: int, n_devices: int = None) -> Mesh:
 
 
 def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
-                  max_anchors: int):
+                  max_anchors: int, with_nmask: bool = False):
     """shard_map'd sketch + local-probe + psum join over the 2-D mesh.
 
-    Returns fn(codes, lengths, *tables) -> per-row (count, n_minimizers,
-    rpos_packed, cid, cpos, found), each (B, S) with strand bits packed in
-    rpos_packed bits 29/30 (the engine's standard anchor word).
+    Returns fn(codes, lengths, *tables[, nmask]) -> per-row (count,
+    n_minimizers, rpos_packed, cid, cpos, found), each (B, S) with strand
+    bits packed in rpos_packed bits 29/30 (the engine's standard anchor
+    word).
 
     Inside the shard-mapped body, per-rank block shapes are static, so the
     fused Pallas sketch core is selected per-rank with the same gating as
     the single-device step (TPU backend, L % 128 == 0, L <= 16384 for the
     v5e VMEM budget, local rows % 8 == 0); CPU meshes (tests, dryruns)
-    keep the XLA lowering.
+    keep the XLA lowering. `with_nmask=True` builds the N-batch variant:
+    a (B, L//8) bit-packed non-ACGT mask shards like the code rows and the
+    sketch takes the XLA compacted-window kernel (reference N semantics).
     """
     n_shards = sidx.n_shards
     mask = sidx.mask
@@ -175,15 +178,23 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
         )
         return found, t_cid[payload], t_pos[payload], t_strand[payload]
 
-    def step(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand):
+    def step(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand, *nm):
         # per-rank table block has a leading shard dim of 1
         t_hi, t_lo = t_hi[0], t_lo[0]
         t_cid, t_pos, t_strand = t_cid[0], t_pos[0], t_strand[0]
         B_loc, L_loc = codes.shape
         from ..ops.sketch_pallas import pallas_mode
 
-        pmode = pallas_mode(L_loc) if B_loc % 8 == 0 else False
-        if pmode == "chunked":
+        if with_nmask:
+            from .mesh import unpack_bits
+
+            codes = jnp.where(
+                unpack_bits(nm[0], L_loc), jnp.uint8(4), codes
+            )
+            can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
+                codes, lengths, k, w, compact_invalid=True
+            )
+        elif (pmode := pallas_mode(L_loc) if B_loc % 8 == 0 else False) == "chunked":
             from ..ops.sketch_pallas import sketch_batch_pallas_chunked
 
             can_hi, can_lo, fwd, winner, emit = sketch_batch_pallas_chunked(
@@ -230,13 +241,16 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
 
     data_spec = P("data", None)
     table_spec = P("idx", None)
+    in_specs = (
+        data_spec, P("data"),
+        table_spec, table_spec, table_spec, table_spec, table_spec,
+    )
+    if with_nmask:
+        in_specs = in_specs + (data_spec,)
     return shard_map(
         step,
         mesh=mesh,
-        in_specs=(
-            data_spec, P("data"),
-            table_spec, table_spec, table_spec, table_spec, table_spec,
-        ),
+        in_specs=in_specs,
         out_specs=(
             P("data"), P("data"), data_spec, data_spec, data_spec, data_spec,
             data_spec, data_spec,
@@ -254,13 +268,9 @@ def make_sharded_index_mapping_step(mesh: Mesh, sidx: ShardedDeviceIndex,
     DeviceMapper drains it exactly like the replicated path. `with_hashes`
     adds the matched minimizer hash planes (repeat-filter readback)."""
     join = _sharded_join(mesh, sidx, k, w, max_anchors)
+    join_n = _sharded_join(mesh, sidx, k, w, max_anchors, with_nmask=True)
 
-    @jax.jit
-    def full_step(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand):
-        codes = unpack_codes(packed, L)
-        count, n_mins, rpos_packed, cid, cpos, found, q_hi, q_lo = join(
-            codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand
-        )
+    def _finish(count, n_mins, rpos_packed, cid, cpos, found, q_hi, q_lo):
         order_flat = jnp.argsort(~found.reshape(-1), stable=True)
         takef = lambda a: a.reshape(-1)[order_flat]
         planes = [takef(rpos_packed), takef(cid), takef(cpos)]
@@ -276,14 +286,30 @@ def make_sharded_index_mapping_step(mesh: Mesh, sidx: ShardedDeviceIndex,
             "n_anchors": found.sum(),
         }
 
+    @jax.jit
+    def full_step(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand):
+        codes = unpack_codes(packed, L)
+        return _finish(*join(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand))
+
+    @jax.jit
+    def full_step_n(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand, nmask):
+        codes = unpack_codes(packed, L)
+        return _finish(
+            *join_n(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand, nmask)
+        )
+
     t_args = tuple(
         jnp.asarray(a)
         for a in (sidx.t_hi, sidx.t_lo, sidx.t_cid, sidx.t_pos,
                   sidx.t_strand.astype(np.bool_))
     )
-    return lambda packed, lengths, didx=None: full_step(
-        packed, lengths, *t_args
-    )
+
+    def run(packed, lengths, didx=None, nmask=None):
+        if nmask is None:
+            return full_step(packed, lengths, *t_args)
+        return full_step_n(packed, lengths, *t_args, nmask)
+
+    return run
 
 
 def make_sharded_index_join(mesh: Mesh, sidx: ShardedDeviceIndex,

@@ -76,6 +76,48 @@ def test_incremental_delivery_order_and_parity(workload):
             np.testing.assert_array_equal(np.asarray(a)[:n_g], np.asarray(b)[:n_e])
 
 
+def test_mesh_path_n_reads_parity(workload):
+    """N reads through the sharded (8-virtual-device) mapping step must
+    match the exact host path (nmask rows shard like the code rows)."""
+    index, reads = workload
+    mapper = DeviceMapper(index, K, W, batch_bases=16_384, use_mesh=True)
+    assert mapper.n_devices == 8
+    expected = _expected(index, reads)
+    got = list(mapper.map_stream_raw(iter(reads)))
+    assert [(n, l) for n, l, _ in got] == [(n, l) for n, l, _ in expected]
+    for (_, _, raw_g), (_, _, raw_e) in zip(got, expected):
+        if raw_e is None:
+            assert raw_g is None
+            continue
+        assert raw_g[0] == raw_e[0]
+        for a, b in zip(raw_g[1:5], raw_e[1:5]):
+            np.testing.assert_array_equal(
+                np.asarray(a)[: raw_g[0]], np.asarray(b)[: raw_e[0]]
+            )
+
+
+def test_hash_sharded_path_n_reads_parity(workload):
+    """N reads through the hash-sharded-index step (2-D mesh) must match
+    the exact host path."""
+    index, reads = workload
+    mapper = DeviceMapper(
+        index, K, W, batch_bases=16_384, use_mesh=True,
+        index_sharding="hash", idx_shards=2,
+    )
+    expected = _expected(index, reads)
+    got = list(mapper.map_stream_raw(iter(reads)))
+    assert [(n, l) for n, l, _ in got] == [(n, l) for n, l, _ in expected]
+    for (_, _, raw_g), (_, _, raw_e) in zip(got, expected):
+        if raw_e is None:
+            assert raw_g is None
+            continue
+        assert raw_g[0] == raw_e[0]
+        for a, b in zip(raw_g[1:5], raw_e[1:5]):
+            np.testing.assert_array_equal(
+                np.asarray(a)[: raw_g[0]], np.asarray(b)[: raw_e[0]]
+            )
+
+
 def test_results_surface_before_stream_end(workload):
     """The overlap property: with multiple batches, at least one result is
     delivered before the input stream is exhausted (no all-at-the-end
