@@ -22,14 +22,26 @@ os.chdir(workdir)
 BASES = np.array(list("ACGT"))
 rng = np.random.default_rng(5)
 
+GAPPED = bool(os.environ.get("NTLINK_STRESS_GAPPED"))
+
 t0 = time.time()
 if not os.path.exists("target.fa"):
     pieces = []
     with open("target.fa", "w") as fh:
         for i in range(N_CONTIGS):
             seq = "".join(BASES[rng.integers(0, 4, CONTIG_LEN)])
-            fh.write(f">c{i}\n{seq}\n")
             pieces.append(seq)
+            if GAPPED:
+                # emulate a rounds-2 input: draft scaffolds carry interior
+                # N gap runs (exercises the device-side compacted-window
+                # sketch path at scale); reads still come from the gapless
+                # truth, so flank mappings behave like a real round 2
+                arr = np.frombuffer(seq.encode(), np.uint8).copy()
+                for _ in range(3):
+                    g0 = int(rng.integers(CONTIG_LEN // 10, CONTIG_LEN - 1000))
+                    arr[g0 : g0 + int(rng.integers(100, 800))] = ord("N")
+                seq = arr.tobytes().decode()
+            fh.write(f">c{i}\n{seq}\n")
             if i + 1 < N_CONTIGS:
                 pieces.append("".join(BASES[rng.integers(0, 4, GAP)]))
     genome = "".join(pieces)
