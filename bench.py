@@ -371,7 +371,8 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"# device attempt {attempt+1} timed out; retrying",
                   file=sys.stderr)
-        time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
+        if attempt < 3:  # no pointless backoff after the final attempt
+            time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
 
     from ntlink_tpu.config import ScaffoldConfig
 

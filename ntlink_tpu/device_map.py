@@ -225,14 +225,8 @@ class DeviceMapper:
         encoded: Dict[int, np.ndarray] = {}
         buckets: Dict[tuple, List[int]] = {}  # (pad, has_n) -> read idxs
         next_yield = [0]  # front of the in-order delivery window
-        # every mapping step variant (single device, data mesh, hash-sharded
-        # index) has nmask plumbing, so N-containing reads always batch
-        # on-device; only sub-k/oversized rows take the host fallback
-        device_n_ok = True
 
         import os
-        import queue as queue_mod
-        import threading
         import time as time_mod
 
         from .native import fastx_module
@@ -251,59 +245,11 @@ class DeviceMapper:
             tacc[key] = tacc.get(key, 0.0) + (time_mod.perf_counter() - t0)
             tN[key] = tN.get(key, 0) + 1
 
-        # two pipeline threads decouple the main thread from every device
-        # interaction on the latency-heavy link:
-        #   feeder:  H2D put + step dispatch + prefix-slice dispatch + async
-        #            D2H starts (per-dispatch RTTs overlap the main thread's
-        #            reading/packing/chaining)
-        #   drainer: device->host transfer waits (jax releases the GIL there)
-        # FIFO queues preserve batch order end to end; depth 2 each bounds
-        # device memory and tunnel queueing (backpressure via put()).
-        feed_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
-        work_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
-        pipe_err: List[BaseException] = []
-        feeder: List[threading.Thread] = []
-        drainer: List[threading.Thread] = []
-
-        def feed_loop() -> None:
-            while True:
-                ent = feed_q.get()
-                try:
-                    if ent is not None and not pipe_err:
-                        dispatch_batch(*ent)
-                except BaseException as exc:  # surfaced at next flush_all
-                    pipe_err.append(exc)
-                finally:
-                    feed_q.task_done()
-                if ent is None:
-                    return
-
-        def drain_loop() -> None:
-            while True:
-                ent = work_q.get()
-                try:
-                    if ent is not None and not pipe_err:
-                        drain(*ent)
-                except BaseException as exc:  # surfaced at next flush_all
-                    pipe_err.append(exc)
-                finally:
-                    work_q.task_done()
-                if ent is None:
-                    return
-
-        def ensure_threads() -> None:
-            if not drainer:
-                t = threading.Thread(
-                    target=drain_loop, daemon=True, name="ntlink-drain"
-                )
-                t.start()
-                drainer.append(t)
-            if not feeder:
-                t = threading.Thread(
-                    target=feed_loop, daemon=True, name="ntlink-feed"
-                )
-                t.start()
-                feeder.append(t)
+        # feeder + drainer threads decouple the main thread from every
+        # device interaction on the latency-heavy link (see
+        # stream_pipeline.DevicePipeline); FIFO order end to end, depth 2
+        # bounds device memory and tunnel queueing (backpressure).
+        from .stream_pipeline import DevicePipeline, split_n_rows
 
         def flush_bucket(key: tuple, idxs: List[int]) -> None:
             pad, has_n = key
@@ -319,19 +265,9 @@ class DeviceMapper:
             rows = dict(enumerate(idxs))
             t0 = time_mod.perf_counter() if timing_on else 0.0
             nmask = None
+            row_codes_pack = row_codes
             if has_n:
-                # 2-bit packing cannot carry N: clean codes to 0 and ship a
-                # 1-bit/base non-ACGT mask alongside (2.25 bits/base total)
-                bad = np.zeros((B, pad), dtype=bool)
-                clean = []
-                for row, c in enumerate(row_codes):
-                    b = c > 3
-                    bad[row, : len(c)] = b
-                    clean.append(np.where(b, 0, c).astype(np.uint8))
-                row_codes_pack = clean
-                nmask = np.packbits(bad, axis=1, bitorder="little")
-            else:
-                row_codes_pack = row_codes
+                row_codes_pack, nmask = split_n_rows(row_codes, B, pad)
             if native is not None:
                 buf = native.pack_batch(row_codes_pack, pad)
                 packed = np.frombuffer(buf, dtype=np.uint8).reshape(-1, pad // 4)
@@ -347,8 +283,7 @@ class DeviceMapper:
             if timing_on:
                 _t("pack", t0)
                 t0 = time_mod.perf_counter()
-            ensure_threads()
-            feed_q.put((packed, nmask, lengths, pad, rows, row_codes))
+            pipe.submit((packed, nmask, lengths, pad, rows, row_codes))
             if timing_on:
                 _t("feed_enqueue_wait", t0)
 
@@ -364,7 +299,7 @@ class DeviceMapper:
                 t0 = time_mod.perf_counter()
             if nmask is None:
                 out = step(dev_packed, dev_lengths, self.didx)  # async dispatch
-            else:  # replicated-index paths only (see map_stream_raw)
+            else:  # N batch: every step variant accepts the mask
                 out = step(
                     dev_packed, dev_lengths, self.didx, jnp.asarray(nmask)
                 )
@@ -390,7 +325,7 @@ class DeviceMapper:
             if timing_on:
                 _t("slice_copyasync", t0)
                 t0 = time_mod.perf_counter()
-            work_q.put((out, sliced, pad, rows, row_codes, lengths))
+            pipe.submit_drain((out, sliced, pad, rows, row_codes, lengths))
             if timing_on:
                 _t("drain_enqueue_wait", t0)
 
@@ -452,6 +387,8 @@ class DeviceMapper:
                     lo,
                 )
 
+        pipe = DevicePipeline(dispatch_batch, drain, name="ntlink-map")
+
         def ready_results():
             # deliver strictly in input order, as soon as a read's batch has
             # drained: the consumer's chaining/tally work then overlaps the
@@ -471,10 +408,7 @@ class DeviceMapper:
                 if idxs:
                     flush_bucket(key, idxs)
             buckets.clear()
-            feed_q.join()
-            work_q.join()
-            if pipe_err:
-                raise pipe_err[0]
+            pipe.join_all()
             for i in range(next_yield[0], len(pending)):
                 name, length = pending[i]
                 yield name, length, results.pop(i)
@@ -507,13 +441,12 @@ class DeviceMapper:
                     else nthash_np.encode(payload)
                 )
                 seq = payload
+                # every mapping step variant (single device, data mesh,
+                # hash-sharded index) has nmask plumbing, so N-containing
+                # reads always batch on-device; only sub-k/oversized rows
+                # take the exact host path
                 has_n = bool((codes > 3).any())
-                if (
-                    len(seq) < self.k
-                    or len(seq) > self.MAX_PAD
-                    or (has_n and not device_n_ok)
-                ):
-                    # exact host path: sub-k / oversized rows
+                if len(seq) < self.k or len(seq) > self.MAX_PAD:
                     results[i] = self._host_map_raw(codes)
                     yield from ready_results()
                     continue
@@ -535,12 +468,7 @@ class DeviceMapper:
                     budget = 0
             yield from flush_all()
         finally:
-            if feeder:
-                feed_q.put(None)
-                feeder[0].join(timeout=60)
-            if drainer:
-                work_q.put(None)
-                drainer[0].join(timeout=60)
+            pipe.close()
             if timing_on and tacc:
                 import sys
 

@@ -416,64 +416,17 @@ class JaxSketcher:
         native = fastx_module()
         step = _sketch_step()
 
-        import queue as queue_mod
-        import threading
+        # same feeder/drainer pipeline as device_map.map_stream_raw: the
+        # feeder owns every device call (per-dispatch link round trips
+        # overlap the main thread's reading/packing/TSV rendering), the
+        # drainer owns the blocking D2H waits (jax releases the GIL there)
+        from ..stream_pipeline import DevicePipeline, split_n_rows
 
         pending: List[Tuple[str, int]] = []   # (name, length)
         results: Dict[int, Minimizers] = {}
         encoded: Dict[int, np.ndarray] = {}
-        buckets: Dict[int, List[int]] = {}
+        buckets: Dict[tuple, List[int]] = {}  # (pad, has_n) -> row idxs
         next_yield = [0]  # front of the in-order delivery window
-
-        # same three-thread pipeline as device_map.map_stream_raw: the
-        # feeder owns every device call (per-dispatch link round trips
-        # overlap the main thread's reading/packing/TSV rendering), the
-        # drainer owns the blocking D2H waits (jax releases the GIL there)
-        feed_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
-        work_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
-        pipe_err: List[BaseException] = []
-        feeder: List[threading.Thread] = []
-        drainer: List[threading.Thread] = []
-
-        def feed_loop() -> None:
-            while True:
-                ent = feed_q.get()
-                try:
-                    if ent is not None and not pipe_err:
-                        dispatch_batch(*ent)
-                except BaseException as exc:
-                    pipe_err.append(exc)
-                finally:
-                    feed_q.task_done()
-                if ent is None:
-                    return
-
-        def drain_loop() -> None:
-            while True:
-                ent = work_q.get()
-                try:
-                    if ent is not None and not pipe_err:
-                        drain(*ent)
-                except BaseException as exc:
-                    pipe_err.append(exc)
-                finally:
-                    work_q.task_done()
-                if ent is None:
-                    return
-
-        def ensure_threads() -> None:
-            if not drainer:
-                t = threading.Thread(
-                    target=drain_loop, daemon=True, name="ntlink-sk-drain"
-                )
-                t.start()
-                drainer.append(t)
-            if not feeder:
-                t = threading.Thread(
-                    target=feed_loop, daemon=True, name="ntlink-sk-feed"
-                )
-                t.start()
-                feeder.append(t)
 
         def bucket_rows(pad: int) -> int:
             b = 1
@@ -489,19 +442,9 @@ class JaxSketcher:
             lengths = np.zeros(B, dtype=np.int32)
             lengths[: len(idxs)] = [len(c) for c in row_codes]
             nmask = None
+            row_codes_pack = row_codes
             if has_n:
-                # 2-bit packing cannot carry N: clean codes to 0 and ship a
-                # 1-bit/base non-ACGT mask alongside (2.25 bits/base total)
-                bad = np.zeros((B, pad), dtype=bool)
-                clean = []
-                for row, c in enumerate(row_codes):
-                    b = c > 3
-                    bad[row, : len(c)] = b
-                    clean.append(np.where(b, 0, c).astype(np.uint8))
-                row_codes_pack = clean
-                nmask = np.packbits(bad, axis=1, bitorder="little")
-            else:
-                row_codes_pack = row_codes
+                row_codes_pack, nmask = split_n_rows(row_codes, B, pad)
             if native is not None:
                 buf = native.pack_batch(row_codes_pack, pad)
                 packed = np.frombuffer(buf, dtype=np.uint8).reshape(-1, pad // 4)
@@ -514,8 +457,7 @@ class JaxSketcher:
                 for row, c in enumerate(row_codes_pack):
                     codes[row, : len(c)] = c
                 packed = pack_codes(codes)
-            ensure_threads()
-            feed_q.put(
+            pipe.submit(
                 (packed, nmask, lengths, pad, dict(enumerate(idxs)), row_codes, B)
             )
 
@@ -549,7 +491,7 @@ class JaxSketcher:
                 sliced.copy_to_host_async()
             except Exception:
                 pass
-            work_q.put((out, sliced, pad, rows, row_codes, B))
+            pipe.submit_drain((out, sliced, pad, rows, row_codes, B))
 
         def drain(out, sliced, pad, rows, row_codes, B) -> None:
             meta = np.asarray(out["meta"])
@@ -596,6 +538,8 @@ class JaxSketcher:
                     (pos_strand >> 30).astype(bool),
                 )
 
+        pipe = DevicePipeline(dispatch_batch, drain, name="ntlink-sk")
+
         def ready_results():
             # deliver strictly in input order as soon as a batch drains, so
             # the consumer's TSV rendering / downstream work overlaps later
@@ -613,10 +557,7 @@ class JaxSketcher:
                 if idxs:
                     flush_bucket(key, idxs)
             buckets.clear()
-            feed_q.join()
-            work_q.join()
-            if pipe_err:
-                raise pipe_err[0]
+            pipe.join_all()
             for i in range(next_yield[0], len(pending)):
                 name, length = pending[i]
                 yield name, length, results.pop(i)
@@ -654,9 +595,4 @@ class JaxSketcher:
                     budget = 0
             yield from flush_all()
         finally:
-            if feeder:
-                feed_q.put(None)
-                feeder[0].join(timeout=60)
-            if drainer:
-                work_q.put(None)
-                drainer[0].join(timeout=60)
+            pipe.close()

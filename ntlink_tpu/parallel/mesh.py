@@ -181,6 +181,12 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
         can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
             codes, lengths, k, w, compact_invalid=True
         )
+        # fusion fence (same pathology as sketch_step_packed): keep the
+        # unrolled hash graph + argsort/gather consumers out of one fusion
+        # search — pads reach 2^21 for ultra-long reads
+        can_hi, can_lo, fwd, winner, emit = jax.lax.optimization_barrier(
+            (can_hi, can_lo, fwd, winner, emit)
+        )
     elif use_pallas == "chunked":
         from ..ops.sketch_pallas import sketch_batch_pallas_chunked
 

@@ -194,6 +194,11 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
             can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
                 codes, lengths, k, w, compact_invalid=True
             )
+            # fusion fence — same compile-time pathology as the other
+            # XLA-lowered sketch consumers at large L
+            can_hi, can_lo, fwd, winner, emit = jax.lax.optimization_barrier(
+                (can_hi, can_lo, fwd, winner, emit)
+            )
         elif (pmode := pallas_mode(L_loc) if B_loc % 8 == 0 else False) == "chunked":
             from ..ops.sketch_pallas import sketch_batch_pallas_chunked
 

@@ -24,6 +24,13 @@ rng = np.random.default_rng(5)
 
 GAPPED = bool(os.environ.get("NTLINK_STRESS_GAPPED"))
 
+# dataset identity includes the gapped flag: a cached target.fa from the
+# other mode would silently misrepresent what ran
+_marker = "target.fa.gapped" if GAPPED else "target.fa.gapless"
+if os.path.exists("target.fa") and not os.path.exists(_marker):
+    for f in os.listdir("."):
+        os.remove(f)
+
 t0 = time.time()
 if not os.path.exists("target.fa"):
     pieces = []
@@ -57,6 +64,7 @@ if not os.path.exists("target.fa"):
             if rng.random() < 0.5:
                 seq = seq.translate(comp)[::-1]
             fh.write(f">r{r}\n{seq}\n")
+    open(_marker, "w").close()
     print(f"dataset generated in {time.time()-t0:.1f}s "
           f"({N_CONTIGS*CONTIG_LEN/1e6:.0f} Mb target, {N_READS*READ_LEN/1e6:.0f} Mb reads)", flush=True)
 

@@ -29,9 +29,8 @@ def workload():
     for i in range(70):
         # alternate pad buckets (1024 and 2048) plus host-fallback shapes
         if i % 11 == 10:
-            # interior N (single-device: batches via the compacted-window
-            # device path; sharded: host fallback) — alternate a lone N
-            # and a long run
+            # interior N — batches via the compacted-window device path
+            # under every index layout; alternate a lone N and a long run
             start = int(rng.integers(0, 100_000))
             seq = contig[start : start + 900]
             if i % 22 == 10:
