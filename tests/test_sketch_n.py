@@ -91,6 +91,40 @@ def test_sketch_stream_n_rows_on_device(rows):
         np.testing.assert_array_equal(m.forward, ref.forward, f"s{i}")
 
 
+def test_compacted_kernel_random_property():
+    """Randomized N placement across densities and (k, w) shapes."""
+    rng = np.random.default_rng(99)
+    from ntlink_tpu.ops.sketch_jax import finish_hash
+    import jax.numpy as jnp
+
+    for trial in range(6):
+        k = int(rng.integers(12, 48))
+        w = int(rng.integers(2, 160))
+        L = int(rng.integers(k + w + 10, 3000))
+        c = _rand_codes(rng, L)
+        # random N density 0..20%
+        n_bad = int(L * rng.random() * 0.2)
+        c[rng.integers(0, L, n_bad)] = 4
+        can_hi, can_lo, fwd, winner, emit = sketch_batch_kernel(
+            jnp.asarray(c[None, :]), jnp.asarray([L], jnp.int32), k, w,
+            compact_invalid=True,
+        )
+        ref = nthash_np.sketch_codes(c, k, w)
+        sel = np.asarray(winner)[0][np.asarray(emit)[0]]
+        np.testing.assert_array_equal(
+            sel, ref.positions, f"trial {trial} k={k} w={w} L={L}"
+        )
+        hi, lo = finish_hash(
+            jnp.asarray(np.asarray(can_hi)[0][sel]),
+            jnp.asarray(np.asarray(can_lo)[0][sel]),
+            k,
+        )
+        got = (
+            np.asarray(hi).astype(np.uint64) << np.uint64(32)
+        ) | np.asarray(lo).astype(np.uint64)
+        np.testing.assert_array_equal(got, ref.hashes)
+
+
 def test_sketch_stream_n_rows_small_k():
     """Alternate (k, w) shapes (overlap 15/5, gap-fill 20/10) with gaps."""
     rng = np.random.default_rng(33)
