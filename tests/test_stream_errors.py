@@ -87,6 +87,24 @@ def test_drainer_error_propagates(small_index, monkeypatch):
         list(mapper.map_stream_raw(iter(_reads(contig))))
 
 
+def test_abandoned_generator_closes_promptly(small_index):
+    """Breaking out of the stream mid-flight must shut the pipeline down
+    (bounded close) — no hang, and a fresh stream still works."""
+    import time
+
+    index, contig = small_index
+    mapper = DeviceMapper(index, K, W, batch_bases=8_192, use_mesh=False)
+    stream = mapper.map_stream_raw(iter(_reads(contig, n=60)))
+    for _ in stream:
+        break  # abandon with batches in flight
+    t0 = time.time()
+    stream.close()
+    assert time.time() - t0 < 60
+    # the mapper is reusable after an abandoned stream
+    n = sum(1 for _ in mapper.map_stream_raw(iter(_reads(contig, n=10))))
+    assert n == 10
+
+
 def test_sketcher_feeder_error_propagates(monkeypatch):
     import ntlink_tpu.ops.sketch_jax as sj
 
