@@ -95,11 +95,15 @@ def parse_args(argv: List[str]):
     return targets, params
 
 
-#: parameters consumed by main() itself, not ScaffoldConfig fields
+#: parameters consumed by main() itself, not ScaffoldConfig fields; each is
+#: only meaningful for specific targets (rounds -> run_rounds*, the rest ->
+#: liftover) and rejected elsewhere so a stray knob never silently no-ops
 _DRIVER_KEYS = {"rounds", "agp", "mappings", "out"}
 
 
-def build_config(params: Dict[str, str]) -> ScaffoldConfig:
+def build_config(
+    params: Dict[str, str], allowed_driver: frozenset = frozenset(("rounds",))
+) -> ScaffoldConfig:
     cfg = ScaffoldConfig()
     for key, value in params.items():
         dest = {"ntlink_pairs_tsv": "pairs_tsv"}.get(key, key)
@@ -110,8 +114,17 @@ def build_config(params: Dict[str, str]) -> ScaffoldConfig:
             cfg.target = value
             continue
         if key in _DRIVER_KEYS:
+            if key not in allowed_driver:
+                raise SystemExit(
+                    f"ERROR: parameter {key}= is not valid for this target"
+                )
             if key == "rounds":
-                int(value)  # still validated loudly
+                try:
+                    int(value)  # still validated loudly
+                except ValueError:
+                    raise SystemExit(
+                        f"ERROR: rounds= must be an integer, got {value!r}"
+                    ) from None
             continue
         if not hasattr(cfg, dest):
             # fail loudly: a typo'd knob silently doing nothing teaches the
@@ -171,7 +184,10 @@ def main(argv: List[str] | None = None) -> int:
         print(f"Lifted mappings written to {out}")
         return 0
 
-    cfg = build_config(params)
+    rounds_target = "run_rounds" in targets or "run_rounds_gaps" in targets
+    cfg = build_config(
+        params, frozenset(("rounds",)) if rounds_target else frozenset()
+    )
     rounds = int(params.get("rounds", 5))
     if cfg.v:
         from . import tracing

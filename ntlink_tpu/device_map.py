@@ -26,11 +26,17 @@ from .mapping import AnchorHit
 from .ops import nthash_np
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p <<= 1
-    return p
+from .stream_pipeline import next_pow2 as _next_pow2
+
+
+def default_idx_shards(n_devices: int) -> int:
+    """Largest power-of-two divisor of the device count (capped at 4):
+    make_mesh_2d needs idx_shards | n_devices and the sharded table needs a
+    pow2 shard count (e.g. 6 devices -> 2, not 4; 3 devices -> 1)."""
+    s = 1
+    while s < 4 and n_devices % (s * 2) == 0:
+        s *= 2
+    return s
 
 
 #: adaptive flat-transfer caps, keyed (k, w) -> {pad: cap}
@@ -90,7 +96,7 @@ class DeviceMapper:
                 make_mesh_2d,
             )
 
-            self.idx_shards = idx_shards or min(4, self.n_devices)
+            self.idx_shards = idx_shards or default_idx_shards(self.n_devices)
             self.didx = ShardedDeviceIndex.from_contig_index(
                 index, self.idx_shards
             )
@@ -249,7 +255,12 @@ class DeviceMapper:
         # device interaction on the latency-heavy link (see
         # stream_pipeline.DevicePipeline); FIFO order end to end, depth 2
         # bounds device memory and tunnel queueing (backpressure).
-        from .stream_pipeline import DevicePipeline, split_n_rows
+        from .stream_pipeline import (
+            DevicePipeline,
+            finish_flat_stream,
+            split_n_rows,
+            start_flat_stream,
+        )
 
         def flush_bucket(key: tuple, idxs: List[int]) -> None:
             pad, has_n = key
@@ -306,22 +317,9 @@ class DeviceMapper:
             if timing_on:
                 _t("dispatch", t0)
                 t0 = time_mod.perf_counter()
-            # start both D2H copies immediately (async): metadata and an
-            # adaptively capped anchor prefix stream over the link while
-            # the host packs the next batch — the steady state pays zero
-            # synchronous round trips per batch. The cap starts at half
-            # the slot budget and tightens to the observed anchor volume
-            # (pow2 widths keep the slice executables cached).
-            cap = min(
-                int(out["flat"].shape[1]),
-                self._flat_caps.get(pad, int(out["flat"].shape[1]) // 2),
-            )
-            sliced = out["flat"][:, :cap]
-            try:
-                out["meta"].copy_to_host_async()
-                sliced.copy_to_host_async()
-            except Exception:
-                pass
+            # adaptive capped-transfer protocol (shared with the sketch
+            # stream): meta + anchor prefix start streaming now, async
+            sliced = start_flat_stream(out, self._flat_caps, pad)
             if timing_on:
                 _t("slice_copyasync", t0)
                 t0 = time_mod.perf_counter()
@@ -330,8 +328,6 @@ class DeviceMapper:
                 _t("drain_enqueue_wait", t0)
 
         def drain(out, sliced, pad, rows, row_codes, lengths) -> None:
-            from .ops.sketch_jax import _trim_width
-
             B = int(lengths.shape[0])
             t0 = time_mod.perf_counter() if timing_on else 0.0
             meta = np.asarray(out["meta"])
@@ -340,28 +336,14 @@ class DeviceMapper:
             count, n_mins = meta[:B], meta[B:]
             n_planes = int(out["flat"].shape[0])
             slots = int(out["flat"].shape[1]) // B
-            offs = np.zeros(B + 1, np.int64)
-            np.cumsum(count, out=offs[1:])
-            total = int(offs[-1])
-            # adapt next dispatch's cap: 1.5x headroom over the largest
-            # batch, scaled to a full batch (warmup batches are mostly
-            # padding). Undershoot costs one corrective round trip; pow2
-            # widths cluster tightly, so totals rarely cross the cap.
-            n_filled = int((lengths > 0).sum())
-            scaled = total * B // max(1, n_filled)
-            prev = self._flat_caps.get(pad, 0)
-            want = max(prev, min(int(out["flat"].shape[1]),
-                                 _next_pow2(max(3 * scaled // 2, 4096))))
-            self._flat_caps[pad] = want
+            t0 = time_mod.perf_counter() if timing_on else 0.0
+            offs, total, flat = finish_flat_stream(
+                out, sliced, count, B, int((lengths > 0).sum()),
+                self._flat_caps, pad,
+            )
+            if timing_on:
+                _t("drain_flat_wait", t0)
             if total:
-                t0 = time_mod.perf_counter() if timing_on else 0.0
-                if total <= int(sliced.shape[1]):
-                    flat = np.asarray(sliced)  # already streaming
-                else:  # cap undershot this batch: one corrective round trip
-                    tw = min(int(out["flat"].shape[1]), _trim_width(total))
-                    flat = np.asarray(out["flat"][:, :tw])
-                if timing_on:
-                    _t("drain_flat_wait", t0)
                 rpos_all = flat[0] & 0x1FFFFFFF
                 sbits_all = (flat[0] >> 29) & 3
             for row, i in rows.items():

@@ -332,15 +332,6 @@ def sketch_batch_kernel(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int
     return can_hi, can_lo, fwd, winner, emit
 
 
-def _trim_width(mc: int) -> int:
-    """Column width for trimmed transfers: next power of two. Every
-    distinct width is a fresh device-slice compile (~0.4 s over the
-    tunnel), so a handful of reusable shapes beats byte-tight trims."""
-    mc = max(1, mc)
-    p = 1
-    while p < mc:
-        p <<= 1
-    return p
 
 
 @functools.lru_cache(maxsize=1)
@@ -361,7 +352,10 @@ def _sketch_step():
     return step
 
 
-#: adaptive flat-transfer caps for the sketch path, {pad: cap}
+#: adaptive flat-transfer caps for the sketch path, {(k, w, pad): cap} —
+#: keyed by sketch config too: minimizer density scales ~2/(w+1), so a cap
+#: learned at w=100 would undershoot ~20x at the overlap pass's w=5 (and a
+#: cap learned at w=5 would pin w=100 batches to full-width transfers)
 _SKETCH_FLAT_CAPS: dict = {}
 
 
@@ -420,7 +414,12 @@ class JaxSketcher:
         # feeder owns every device call (per-dispatch link round trips
         # overlap the main thread's reading/packing/TSV rendering), the
         # drainer owns the blocking D2H waits (jax releases the GIL there)
-        from ..stream_pipeline import DevicePipeline, split_n_rows
+        from ..stream_pipeline import (
+            DevicePipeline,
+            finish_flat_stream,
+            split_n_rows,
+            start_flat_stream,
+        )
 
         pending: List[Tuple[str, int]] = []   # (name, length)
         results: Dict[int, Minimizers] = {}
@@ -477,43 +476,19 @@ class JaxSketcher:
                 self._slots_for(pad, w), use_pallas,
                 None if nmask is None else jnp.asarray(nmask),
             )
-            # async copies at dispatch: metadata plus an adaptively capped
-            # minimizer prefix stream while the host packs the next batch
-            # (zero synchronous round trips steady-state; the tunnel is
-            # latency-heavy) — same scheme as device_map.drain
-            cap = min(
-                int(out["flat"].shape[1]),
-                self._flat_caps.get(pad, int(out["flat"].shape[1]) // 2),
-            )
-            sliced = out["flat"][:, :cap]
-            try:
-                out["meta"].copy_to_host_async()
-                sliced.copy_to_host_async()
-            except Exception:
-                pass
+            # adaptive capped-transfer protocol (shared with the mapping
+            # stream): meta + minimizer prefix start streaming now, async
+            sliced = start_flat_stream(out, self._flat_caps, (k, w, pad))
             pipe.submit_drain((out, sliced, pad, rows, row_codes, B))
 
         def drain(out, sliced, pad, rows, row_codes, B) -> None:
             meta = np.asarray(out["meta"])
             count, n_mins = meta[:B], meta[B:]
             slots = int(out["flat"].shape[1]) // B
-            offs = np.zeros(B + 1, np.int64)
-            np.cumsum(count, out=offs[1:])
-            total = int(offs[-1])
-            n_filled = sum(1 for _ in rows)
-            scaled = total * B // max(1, n_filled)
-            prev = self._flat_caps.get(pad, 0)
-            self._flat_caps[pad] = max(
-                prev,
-                min(int(out["flat"].shape[1]),
-                    _trim_width(max(3 * scaled // 2, 4096))),
+            offs, total, flat = finish_flat_stream(
+                out, sliced, count, B, len(rows), self._flat_caps,
+                (k, w, pad),
             )
-            if total:
-                if total <= int(sliced.shape[1]):
-                    flat = np.asarray(sliced)
-                else:  # cap undershot: one corrective round trip
-                    tw = min(int(out["flat"].shape[1]), _trim_width(total))
-                    flat = np.asarray(out["flat"][:, :tw])
             for row, i in rows.items():
                 n = int(count[row])
                 if n_mins[row] > slots:

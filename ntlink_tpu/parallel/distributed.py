@@ -79,20 +79,67 @@ class JaxTransport(Transport):
 class DirTransport(Transport):
     """Shared-directory collective (NFS deployments, multi-process tests).
 
-    Each call writes `<dir>/<seq>.<rank>` atomically (tmp + rename) and
+    Each call writes `<run-dir>/<seq>.<rank>` atomically (tmp + rename) and
     waits for all ranks' files; a per-instance sequence number keeps
     successive collectives from colliding (all ranks issue collectives in
     the same program order).
-    """
+
+    Collectives live in a per-run namespace under the group directory, so a
+    rerun (or a crash-restarted rank) can never silently consume a previous
+    run's blobs: with NTLINK_RUN_ID set (recommended for production
+    launchers) every rank uses `run-<id>`; otherwise rank 0 mints a fresh
+    `run-<nonce>` and publishes it via an atomically-replaced CURRENT
+    pointer, which other ranks accept only if it was published after they
+    started (10 s clock-skew slack) — a stale pointer from an earlier run is
+    hours old and is ignored until the live rank 0 overwrites it, and a
+    desynced restarted rank times out loudly instead of pairing its
+    collective 0 with peers' collective N. Consumed blobs are garbage-
+    collected one collective later (when this rank completes collective
+    `seq`, every rank has completed `seq-1` — see allgather)."""
 
     def __init__(self, path: str, process_id: int, n_processes: int,
                  timeout: float = 300.0):
-        self.dir = path
         self.process_id = process_id
         self.n_processes = n_processes
         self.timeout = timeout
         self._seq = 0
         os.makedirs(path, exist_ok=True)
+        run_id = os.environ.get("NTLINK_RUN_ID")
+        current = os.path.join(path, "CURRENT")
+        if run_id:
+            self.dir = os.path.join(path, f"run-{run_id}")
+            os.makedirs(self.dir, exist_ok=True)
+        elif process_id == 0:
+            import uuid
+
+            nonce = uuid.uuid4().hex[:12]
+            self.dir = os.path.join(path, f"run-{nonce}")
+            os.makedirs(self.dir)
+            tmp = current + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                fh.write(nonce)
+            os.replace(tmp, current)
+        else:
+            start = time.time()
+            while True:
+                try:
+                    st = os.stat(current)
+                    if st.st_mtime >= start - 10.0:
+                        with open(current) as fh:
+                            nonce = fh.read().strip()
+                        d = os.path.join(path, f"run-{nonce}")
+                        if os.path.isdir(d):
+                            self.dir = d
+                            break
+                except FileNotFoundError:
+                    pass
+                if time.time() > start + self.timeout:
+                    raise TimeoutError(
+                        f"rank {process_id}: no fresh CURRENT run pointer in "
+                        f"{path} (is rank 0 up? for reruns over a shared dir "
+                        f"set NTLINK_RUN_ID on every rank)"
+                    )
+                time.sleep(0.02)
 
     def allgather(self, blob: bytes) -> List[bytes]:
         seq = self._seq
@@ -114,6 +161,15 @@ class DirTransport(Transport):
                 time.sleep(0.02)
             with open(path, "rb") as fh:
                 parts.append(fh.read())
+        # GC: completing collective `seq` proves every rank finished
+        # `seq-1` (each read all ranks' seq files, which are written only
+        # after their writers finished seq-1), so this rank's seq-1 blob can
+        # no longer be read by anyone.
+        if seq > 0:
+            try:
+                os.unlink(os.path.join(self.dir, f"{seq - 1}.{self.process_id}"))
+            except FileNotFoundError:
+                pass
         return parts
 
 

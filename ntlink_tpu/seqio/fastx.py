@@ -196,20 +196,45 @@ def prefetch_files(paths, make_iter, threads: int = 1, depth: int = 256):
     DONE = object()
     queues = [queue.Queue(maxsize=depth) for _ in paths]
     slots = threading.BoundedSemaphore(max(1, threads))
+    # Abandonment protocol: if the consumer stops early (an error elsewhere
+    # in the run), `stop` flips and every worker unblocks from its bounded
+    # put, closes its source iterator (releasing the underlying file
+    # handle), and exits — nothing stays pinned for the life of the process
+    # (rounds drivers call this many times in one process).
+    stop = threading.Event()
+
+    def _put(q, item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker(path, q):
         try:
-            for item in make_iter(path):
-                q.put(item)
-            q.put(DONE)
+            it = make_iter(path)
+            try:
+                for item in it:
+                    if not _put(q, item):
+                        return
+            finally:
+                close = getattr(it, "close", None)
+                if close is not None:
+                    close()
+            _put(q, DONE)
         except BaseException as exc:  # propagate into the consumer
-            q.put(exc)
+            _put(q, exc)
         finally:
             slots.release()
 
     def launcher():
         for path, q in zip(paths, queues):
             slots.acquire()
+            if stop.is_set():
+                slots.release()
+                return
             threading.Thread(
                 target=worker, args=(path, q), daemon=True
             ).start()
@@ -225,8 +250,17 @@ def prefetch_files(paths, make_iter, threads: int = 1, depth: int = 256):
                 raise item
             yield item
 
-    for path, q in zip(paths, queues):
-        yield path, drain(q)
+    try:
+        for path, q in zip(paths, queues):
+            yield path, drain(q)
+    finally:
+        stop.set()
+        for q in queues:  # free one slot so a mid-put worker can finish
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def write_fasta(fh, records: Iterable, wrap: Optional[int] = None) -> None:

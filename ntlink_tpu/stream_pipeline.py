@@ -111,6 +111,71 @@ class DevicePipeline:
             t.join(timeout=timeout)
 
 
+def next_pow2(n: int) -> int:
+    """Next power of two >= n (>=1). Pow2 widths keep the device-slice
+    executable cache tiny: every distinct width is a fresh compile (~0.4 s
+    over the tunnel), so a handful of reusable shapes beats byte-tight
+    trims."""
+    n = max(1, n)
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def start_flat_stream(out, caps: dict, key):
+    """Dispatch-side half of the adaptive capped-transfer protocol shared by
+    the mapping and sketch streams.
+
+    Starts both D2H copies immediately (async): the `meta` tensor and an
+    adaptively capped prefix of the compacted `flat` tensor stream over the
+    link while the host packs the next batch — steady state pays zero
+    synchronous round trips per batch. The cap starts at half the slot
+    budget and tightens to the observed volume (see finish_flat_stream).
+    Returns the sliced prefix to hand to the drainer.
+    """
+    width = int(out["flat"].shape[1])
+    cap = min(width, caps.get(key, width // 2))
+    sliced = out["flat"][:, :cap]
+    try:
+        out["meta"].copy_to_host_async()
+        sliced.copy_to_host_async()
+    except Exception:
+        pass
+    return sliced
+
+
+def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
+                       caps: dict, key):
+    """Drain-side half of the capped-transfer protocol.
+
+    Computes per-row offsets from `count`, adapts the next dispatch's cap
+    (1.5x headroom over this batch's volume scaled to a full batch — warmup
+    batches are mostly padding; undershoot costs one corrective round trip,
+    and pow2 widths cluster tightly so totals rarely cross the cap), and
+    fetches the flat payload — from the already-streaming prefix when the
+    cap held, else via one corrective round trip.
+
+    Returns (offs, total, flat) with flat=None when the batch is empty.
+    """
+    offs = np.zeros(B + 1, np.int64)
+    np.cumsum(count, out=offs[1:])
+    total = int(offs[-1])
+    width = int(out["flat"].shape[1])
+    scaled = total * B // max(1, n_filled)
+    caps[key] = max(
+        caps.get(key, 0),
+        min(width, next_pow2(max(3 * scaled // 2, 4096))),
+    )
+    flat = None
+    if total:
+        if total <= int(sliced.shape[1]):
+            flat = np.asarray(sliced)  # already streaming
+        else:  # cap undershot this batch: one corrective round trip
+            flat = np.asarray(out["flat"][:, : min(width, next_pow2(total))])
+    return offs, total, flat
+
+
 def split_n_rows(row_codes: List[np.ndarray], B: int, pad: int):
     """For a batch of N-containing rows: return (clean_rows, packed_nmask).
 

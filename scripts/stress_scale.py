@@ -3,6 +3,7 @@ assembly with joins, run with per-stage tracing. Usage:
     python scripts/stress_scale.py [workdir] [n_contigs] [contig_len] [n_reads]
 """
 import os
+import shutil
 import sys
 import time
 
@@ -29,7 +30,10 @@ GAPPED = bool(os.environ.get("NTLINK_STRESS_GAPPED"))
 _marker = "target.fa.gapped" if GAPPED else "target.fa.gapless"
 if os.path.exists("target.fa") and not os.path.exists(_marker):
     for f in os.listdir("."):
-        os.remove(f)
+        if os.path.isdir(f):
+            shutil.rmtree(f)
+        else:
+            os.remove(f)
 
 t0 = time.time()
 if not os.path.exists("target.fa"):

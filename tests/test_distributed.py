@@ -44,3 +44,70 @@ def test_shard_read_files():
     assert shards[0] == ["r0", "r2", "r4"]
     assert shards[1] == ["r1", "r3"]
     assert sorted(shards[0] + shards[1]) == sorted(files)
+
+
+def _dir_allgather(base, rank, n, blobs, out, err):
+    """Worker: one DirTransport rank doing len(blobs) collectives."""
+    from ntlink_tpu.parallel.distributed import DirTransport
+
+    try:
+        t = DirTransport(base, rank, n, timeout=30.0)
+        for blob in blobs:
+            out.append(t.allgather(blob))
+    except BaseException as exc:  # pragma: no cover - surfaced by assert
+        err.append(exc)
+
+
+def _run_dir_group(base, n, per_rank_blobs):
+    import threading
+
+    outs = [[] for _ in range(n)]
+    errs = []
+    threads = [
+        threading.Thread(
+            target=_dir_allgather,
+            args=(base, r, n, per_rank_blobs[r], outs[r], errs),
+        )
+        for r in range(n)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errs, errs
+    return outs
+
+
+def test_dir_transport_rerun_ignores_stale_blobs(tmp_path):
+    """A second run over the same group dir must never consume the first
+    run's blobs (fresh per-run namespace; regression for the stale-file
+    hazard)."""
+    base = str(tmp_path / "group")
+    outs1 = _run_dir_group(base, 2, [[b"r0-run1"], [b"r1-run1"]])
+    assert outs1[0][0] == [b"r0-run1", b"r1-run1"]
+    assert outs1[1][0] == [b"r0-run1", b"r1-run1"]
+    # rerun with different payloads: must see ONLY run-2 blobs
+    outs2 = _run_dir_group(base, 2, [[b"r0-run2"], [b"r1-run2"]])
+    assert outs2[0][0] == [b"r0-run2", b"r1-run2"]
+    assert outs2[1][0] == [b"r0-run2", b"r1-run2"]
+
+
+def test_dir_transport_gc_and_run_id(tmp_path, monkeypatch):
+    """Consumed collective blobs are garbage-collected one collective later;
+    NTLINK_RUN_ID pins the namespace explicitly."""
+    import glob
+    import os
+
+    monkeypatch.setenv("NTLINK_RUN_ID", "testrun")
+    base = str(tmp_path / "group")
+    blobs = [[b"a0", b"b0", b"c0"], [b"a1", b"b1", b"c1"]]
+    outs = _run_dir_group(base, 2, blobs)
+    assert outs[0] == outs[1] == [
+        [b"a0", b"a1"], [b"b0", b"b1"], [b"c0", b"c1"]
+    ]
+    run_dir = os.path.join(base, "run-testrun")
+    assert os.path.isdir(run_dir)
+    left = sorted(os.path.basename(p) for p in glob.glob(f"{run_dir}/*"))
+    # seq 0 and 1 blobs were GC'd when collectives 1 and 2 completed; only
+    # the final collective's blobs remain
+    assert left == ["2.0", "2.1"], left

@@ -164,3 +164,36 @@ def test_unknown_parameter_fails_loudly():
 
     with pytest.raises(SystemExit):
         build_config({"bogus_knob": "1"})
+
+
+def test_driver_keys_rejected_for_wrong_target():
+    """Driver-level knobs are only accepted where they mean something:
+    rounds= for run_rounds*, agp=/mappings=/out= for liftover — anywhere
+    else they must fail loudly, not silently no-op."""
+    import pytest
+
+    from ntlink_tpu.cli import build_config
+
+    # scaffold-style call (no driver keys allowed)
+    for key in ("out", "agp", "mappings", "rounds"):
+        with pytest.raises(SystemExit):
+            build_config({key: "x"}, allowed_driver=frozenset())
+    # rounds allowed for the rounds targets, but must be an integer
+    build_config({"rounds": "3"}, allowed_driver=frozenset(("rounds",)))
+    with pytest.raises(SystemExit):
+        build_config({"rounds": "abc"}, allowed_driver=frozenset(("rounds",)))
+
+
+def test_default_idx_shards_divides_device_count():
+    from ntlink_tpu.device_map import default_idx_shards
+
+    assert default_idx_shards(1) == 1
+    assert default_idx_shards(2) == 2
+    assert default_idx_shards(3) == 1
+    assert default_idx_shards(4) == 4
+    assert default_idx_shards(6) == 2
+    assert default_idx_shards(8) == 4
+    assert default_idx_shards(12) == 4
+    for n in range(1, 33):
+        s = default_idx_shards(n)
+        assert n % s == 0 and (s & (s - 1)) == 0

@@ -135,3 +135,31 @@ def test_native_minimizer_render_matches_python(with_strand):
         np.zeros(0, np.uint64), np.zeros(0, np.int64), np.zeros(0, bool)
     )
     assert format_minimizers_bytes(empty, with_strand=with_strand) == b""
+
+
+def test_prefetch_files_abandonment_releases_workers(tmp_path):
+    """If the consumer stops mid-stream (an error elsewhere), blocked
+    workers must unblock and exit instead of pinning queues/handles for the
+    life of the process (regression: run_rounds loops in one process)."""
+    import threading
+    import time
+
+    from ntlink_tpu.seqio.fastx import prefetch_files
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"r{i}.fa"
+        with open(p, "w") as fh:
+            for j in range(500):
+                fh.write(f">s{j}\nACGTACGTAC\n")
+        paths.append(str(p))
+
+    n_before = threading.active_count()
+    gen = prefetch_files(paths, stream_fastx, threads=3, depth=4)
+    path, it = next(gen)
+    next(it)  # consume one record, then abandon everything
+    gen.close()
+    deadline = time.time() + 10
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before, "prefetch workers leaked"
