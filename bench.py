@@ -5,12 +5,27 @@ Synthesizes a deterministic human-like workload (4 x 1 Mbase contigs, 15 kb
 reads at 95% identity), then measures the full mapping hot loop — minimizer
 sketching + index join on device, chaining + pair tally on host — end to end.
 
-Baseline = the same exact-semantics pipeline with the NumPy host backend
-(vectorized single-thread CPU), the stand-in for the reference's 4-thread
-CPU toolchain (btllib/indexlr is not installable in this image; see
-BASELINE.md — the reference publishes no numbers of its own).
+Two CPU baselines are measured (btllib/indexlr is not installable in this
+image; the reference publishes no numbers of its own — see BASELINE.md):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- strong host: the engine's best pure-CPU configuration — native C reader,
+  threaded C rolling-ntHash sketch + binary-search index join
+  (native/sketch.c), native C chain_batch (pipeline.map_reads
+  backend=numpy, t=4). `vs_baseline` is scored against THIS leg. Note this
+  is far FASTER than real ntLink would be: the reference tallies anchors
+  in a single-threaded Python loop (ntlink_pair.py:336-435); only its
+  sketching (indexlr -t4, ntLink:199,221-225) is native.
+- weak host: single-threaded per-hit Python objects — structurally the
+  closest stand-in for the reference's actual Python hot loop (reported
+  as `vs_weak_host`).
+
+The device leg in THIS environment is wire-bound: the chip sits behind a
+shared ~20 MB/s tunnel (vs >=8 GB/s PCIe/DMA on a production TPU host), so
+the JSON also carries a wire-ceiling analysis (`wire_*` fields) showing
+how close the engine runs to the link's theoretical reads/s and what the
+same pipeline clears once transfers are not the bottleneck.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -277,16 +292,27 @@ def device_run() -> None:
     # tunnel to the chip has been observed from ~19 MB/s down to <0.1 MB/s)
     link = {}
     try:
-        buf = np.random.default_rng(int(time.time())).integers(
-            0, 256, 4 << 20, dtype=np.uint8
-        )
-        t0 = time.time()
-        d = jax.device_put(buf)
-        d.block_until_ready()
-        link["link_mbps_h2d"] = round(buf.nbytes / (time.time() - t0) / 1e6, 1)
-        t0 = time.time()
-        np.asarray(d)
-        link["link_mbps_d2h"] = round(buf.nbytes / (time.time() - t0) / 1e6, 1)
+        # up to 3 probes: a single reading of ~0 (observed once for D2H)
+        # is a transient tunnel artifact, not link capacity — retry and
+        # keep the best, annotating how many probes were needed
+        probes = 0
+        for attempt in range(3):
+            probes += 1
+            buf = np.random.default_rng(int(time.time()) + attempt).integers(
+                0, 256, 4 << 20, dtype=np.uint8
+            )
+            t0 = time.time()
+            d = jax.device_put(buf)
+            d.block_until_ready()
+            h2d = round(buf.nbytes / (time.time() - t0) / 1e6, 1)
+            t0 = time.time()
+            np.asarray(d)
+            d2h = round(buf.nbytes / (time.time() - t0) / 1e6, 1)
+            link["link_mbps_h2d"] = max(link.get("link_mbps_h2d", 0.0), h2d)
+            link["link_mbps_d2h"] = max(link.get("link_mbps_d2h", 0.0), d2h)
+            if d2h >= 1.0 and h2d >= 1.0:
+                break
+        link["link_probes"] = probes
     except Exception:
         pass
     print(f"# link: {link}", file=sys.stderr)
@@ -325,6 +351,47 @@ def device_run() -> None:
         f"{n_bases/dev_t/1e6:.0f} Mbase/s, {len(tally.pairs)} pairs",
         file=sys.stderr,
     )
+
+    # wire-ceiling analysis: what throughput does the measured link permit?
+    # H2D: reads travel 2-bit packed at the pow2 pad bucket; D2H: matched
+    # anchors stream back at 16 B each (4 x i32 planes) plus meta. Anchor
+    # volume is measured on a read sample with the C sketcher.
+    wire = {}
+    try:
+        from ntlink_tpu.native import sketch_module
+
+        sm = sketch_module()
+        idx_bufs = (
+            np.ascontiguousarray(index.hashes),
+            np.ascontiguousarray(index.contig_ids, dtype=np.int32),
+            np.ascontiguousarray(index.positions, dtype=np.int32),
+            np.ascontiguousarray(index.strands.astype(np.uint8)),
+        )
+        from ntlink_tpu.ops.nthash_np import encode
+
+        anchors = []
+        for name, seq in reads[:32]:
+            res = sm.sketch_join(encode(seq), K, W, *idx_bufs)
+            anchors.append(0 if res is None else res[0])
+        mean_anchors = float(np.mean(anchors))
+        pad = 1 << int(np.ceil(np.log2(READ_LEN)))
+        h2d = pad // 4
+        d2h = mean_anchors * 16 + 64
+        mbps = min(
+            link.get("link_mbps_h2d", 0.0) or 1e9,
+            link.get("link_mbps_d2h", 0.0) or 1e9,
+        )
+        if mbps < 1e9 and mbps > 0:
+            ceiling = mbps * 1e6 / (h2d + d2h)
+            wire = {
+                "wire_bytes_per_read_h2d": int(h2d),
+                "wire_bytes_per_read_d2h": int(d2h),
+                "wire_ceiling_reads_per_s": round(ceiling, 1),
+                "wire_bound_fraction": round((n_reads / dev_t) / ceiling, 2),
+            }
+            print(f"# wire ceiling: {wire}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# wire analysis unavailable: {exc}", file=sys.stderr)
     try:
         extra = _kernel_bench()
     except AssertionError:
@@ -333,7 +400,7 @@ def device_run() -> None:
         print(f"# kernel bench unavailable: {exc}", file=sys.stderr)
         extra = {}
     print(f"# kernels: {extra}", file=sys.stderr)
-    print(json.dumps({"reads_per_s": n_reads / dev_t, **link, **extra}))
+    print(json.dumps({"reads_per_s": n_reads / dev_t, **link, **wire, **extra}))
 
 
 def main():
@@ -374,33 +441,70 @@ def main():
         if attempt < 3:  # no pointless backoff after the final attempt
             time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
 
+    from ntlink_tpu import pipeline
     from ntlink_tpu.config import ScaffoldConfig
 
     contigs, reads, contig_lengths, index = build_workload()
+
+    # strong host leg: the engine's best pure-CPU configuration (native C
+    # reader + threaded NumPy sketch/join + C chain_batch, t=4) over the
+    # full workload — the honest stand-in for 4-thread CPU ntLink
+    reads_fa = "/tmp/ntlink_bench_reads_host.fa"
+    with open(reads_fa, "w") as fh:
+        for name, seq in reads:
+            fh.write(f">{name}\n{seq}\n")
+    strong_cfg = ScaffoldConfig(
+        k=K, w=W, z=Z, reads=[reads_fa], backend="numpy", t=4
+    )
+    strong_rps = 0.0
+    for _ in range(2):  # best of 2: host load swings
+        t0 = time.time()
+        pipeline.map_reads(strong_cfg, index, contig_lengths, None, None)
+        strong_rps = max(strong_rps, len(reads) / (time.time() - t0))
+    print(
+        f"# strong-host baseline (C reader + threaded C sketch/join + "
+        f"C chain, t=4): {len(reads)} reads (best of 2) -> "
+        f"{strong_rps:.0f} reads/s",
+        file=sys.stderr,
+    )
+
+    # weak host leg (round-to-round comparability): single-threaded
+    # per-hit Python objects
     cfg = ScaffoldConfig(k=K, w=W, z=Z)
     sub = reads[: max(100, N_READS // 15)]
-    host_rps = 0.0
-    for _ in range(2):  # best of 2: host load swings too
+    weak_rps = 0.0
+    for _ in range(2):
         t0 = time.time()
         n_r, _, _ = run_mapping(contigs, sub, index, contig_lengths, cfg, None)
-        host_rps = max(host_rps, n_r / (time.time() - t0))
+        weak_rps = max(weak_rps, n_r / (time.time() - t0))
     print(
-        f"# host-numpy baseline: {n_r} reads (best of 2) -> "
-        f"{host_rps:.0f} reads/s",
+        f"# weak-host baseline (single-thread python objects): {n_r} reads "
+        f"(best of 2) -> {weak_rps:.0f} reads/s",
         file=sys.stderr,
     )
 
     if dev_rps is None:
         print("# WARNING: device unavailable; reporting host throughput",
               file=sys.stderr)
-        dev_rps = host_rps
+        dev_rps = strong_rps
     print(
         json.dumps(
             {
                 "metric": "long_read_mapping_throughput_per_chip",
                 "value": round(dev_rps, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(dev_rps / host_rps, 2),
+                "vs_baseline": round(dev_rps / strong_rps, 2),
+                "host_strong_reads_per_s": round(strong_rps, 1),
+                "host_weak_reads_per_s": round(weak_rps, 1),
+                "vs_strong_host": round(dev_rps / strong_rps, 2),
+                "vs_weak_host": round(dev_rps / weak_rps, 2),
+                # the engine's best configuration on this box (the chip is
+                # behind a ~20 MB/s tunnel here; see wire_* fields) vs the
+                # reference-equivalent python hot loop
+                "engine_best_reads_per_s": round(max(dev_rps, strong_rps), 1),
+                "engine_best_vs_weak_host": round(
+                    max(dev_rps, strong_rps) / weak_rps, 2
+                ),
                 **extra,
             }
         )

@@ -85,7 +85,7 @@ class DeviceMapper:
         index.finalize()
         self.contig_names: List[str] = index.contig_names
         self._contig_order = {n: i for i, n in enumerate(index.contig_names)}
-        self.n_devices = len(jax.devices()) if use_mesh else 1
+        self.n_devices = len(jax.local_devices()) if use_mesh else 1
         if index_sharding == "hash" and self.n_devices == 1:
             index_sharding = "replicated"  # nothing to shard over
         self.index_sharding = index_sharding
@@ -107,6 +107,9 @@ class DeviceMapper:
         # observed-anchor-volume cap per pad bucket (process-wide so warmup
         # teaches later mapper instances); see drain()
         self._flat_caps = _FLAT_CAPS.setdefault((k, w), {})
+        # reads that bypassed the device (sub-k, > MAX_PAD, or slot
+        # overflow) and re-mapped on the single-threaded exact host path
+        self.host_fallbacks = 0
 
     def _slots_for(self, L: int) -> int:
         """Minimizer slot budget for padded length L (density ~2/(w+1))."""
@@ -151,7 +154,12 @@ class DeviceMapper:
     # -- host fallback ----------------------------------------------------
 
     def _host_map_raw(self, codes: np.ndarray):
-        """NumPy fallback producing the raw array payload (exact path)."""
+        """NumPy fallback producing the raw array payload (exact path).
+
+        Counted per-mapper (`host_fallbacks`); a summary line is printed at
+        stream end so a fallback-heavy run (e.g. many ultra-long reads over
+        MAX_PAD) is visible instead of just mysteriously slow."""
+        self.host_fallbacks += 1
         mins = nthash_np.sketch_codes(codes, self.k, self.w)
         found, cid, cpos, cstrand = self.index.lookup_many(mins.hashes)
         if not found.any():
@@ -451,6 +459,15 @@ class DeviceMapper:
             yield from flush_all()
         finally:
             pipe.close()
+            if self.host_fallbacks:
+                import sys
+
+                print(
+                    f"# ntlink device-map: {self.host_fallbacks} read(s) "
+                    f"took the exact host fallback path (sub-k, "
+                    f"> {self.MAX_PAD} bases, or anchor-slot overflow)",
+                    file=sys.stderr,
+                )
             if timing_on and tacc:
                 import sys
 

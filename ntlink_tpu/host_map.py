@@ -1,0 +1,126 @@
+"""Strongest pure-CPU mapping path (no JAX device required).
+
+`HostMapper` produces the same raw anchor payloads as
+`device_map.DeviceMapper.map_stream_raw`, so the native C chain/verbose/PAF
+batch path (`pipeline._map_reads_native`) runs unchanged on top of it:
+
+- sequence parsing is the native C reader (seqio/fastx stream_codes),
+- per-read minimizer sketching + index join is one GIL-released C call
+  (`native/sketch.c` sketch_join: rolling ntHash + deque window-min +
+  binary-search probe of the sorted index arrays), so a small thread pool
+  gives real CPU parallelism (the stand-in for btllib indexlr's `-t`
+  threads, reference ntLink:199,221-225); the vectorized NumPy backend
+  (`ops/nthash_np.sketch_codes` + `ContigIndex.lookup_many`) is the
+  fallback when the C build is unavailable,
+- chaining + artifact rendering stay in native C (`native/chain.c`).
+
+This is the `backend=numpy` production path and the honest CPU baseline
+leg of bench.py. Output is byte-identical to the device path (same exact
+sketch semantics, same C chainer).
+"""
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from .index import ContigIndex
+from .ops import nthash_np
+
+
+class HostMapper:
+    """Threaded NumPy sketch + vectorized hash join, raw-payload stream."""
+
+    def __init__(self, index: ContigIndex, k: int, w: int,
+                 threads: int = 4, depth: Optional[int] = None):
+        index.finalize()
+        self.index = index
+        self.k, self.w = k, w
+        self.threads = max(1, int(threads))
+        # bounded look-ahead keeps memory O(depth * read_len) while letting
+        # the pool stay busy ahead of the in-order consumer
+        self.depth = depth or max(64, 16 * self.threads)
+        self.contig_names = index.contig_names
+        self._contig_order = {n: i for i, n in enumerate(index.contig_names)}
+        from .native import sketch_module
+
+        self._sm = sketch_module()
+        if self._sm is not None:
+            self._idx_bufs = (
+                np.ascontiguousarray(index.hashes),
+                np.ascontiguousarray(index.contig_ids, dtype=np.int32),
+                np.ascontiguousarray(index.positions, dtype=np.int32),
+                np.ascontiguousarray(
+                    index.strands.astype(np.uint8, copy=False)
+                ),
+            )
+
+    def _one(self, name: str, codes: np.ndarray):
+        if len(codes) < self.k:
+            return name, len(codes), None
+        if self._sm is not None:
+            res = self._sm.sketch_join(
+                np.ascontiguousarray(codes, dtype=np.uint8),
+                self.k, self.w, *self._idx_bufs,
+            )
+            if res is None:
+                return name, len(codes), None
+            n, rpos, cid, cpos, sbits, hi, lo = res
+            return (
+                name,
+                len(codes),
+                (
+                    n,
+                    np.frombuffer(rpos, np.int32),
+                    np.frombuffer(cid, np.int32),
+                    np.frombuffer(cpos, np.int32),
+                    np.frombuffer(sbits, np.int32),
+                    np.frombuffer(hi, np.int32),
+                    np.frombuffer(lo, np.int32),
+                ),
+            )
+        mins = nthash_np.sketch_codes(codes, self.k, self.w)
+        found, cid, cpos, cstrand = self.index.lookup_many(mins.hashes)
+        if not found.any():
+            return name, len(codes), None
+        hashes = mins.hashes[found]
+        n = int(hashes.shape[0])
+        rpos = mins.positions[found].astype(np.int32)
+        sbits = (
+            cstrand[found].astype(np.int32)
+            | (mins.forward[found].astype(np.int32) << 1)
+        )
+        hi = (hashes >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        lo = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        return (
+            name,
+            len(codes),
+            (
+                n,
+                np.ascontiguousarray(rpos),
+                np.ascontiguousarray(cid[found].astype(np.int32)),
+                np.ascontiguousarray(cpos[found].astype(np.int32)),
+                np.ascontiguousarray(sbits),
+                hi,
+                lo,
+            ),
+        )
+
+    def map_stream_raw(
+        self, named_codes: Iterable[Tuple[str, np.ndarray]]
+    ) -> Iterator[Tuple[str, int, Optional[tuple]]]:
+        """Yield (read_name, read_len, raw_payload) in input order."""
+        if self.threads == 1:
+            for name, codes in named_codes:
+                yield self._one(name, codes)
+            return
+        with ThreadPoolExecutor(max_workers=self.threads) as ex:
+            window: deque = deque()
+            for name, codes in named_codes:
+                window.append(ex.submit(self._one, name, codes))
+                if len(window) >= self.depth:
+                    yield window.popleft().result()
+            while window:
+                yield window.popleft().result()

@@ -34,3 +34,8 @@ def graph_module():
 def liftover_module():
     """The compiled ntlink_liftover module, or None if unavailable."""
     return _get("ntlink_liftover")
+
+
+def sketch_module():
+    """The compiled ntlink_sketch module, or None if unavailable."""
+    return _get("ntlink_sketch")

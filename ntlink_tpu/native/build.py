@@ -17,6 +17,7 @@ MODULES = {
     "ntlink_chain": ("chain.c", []),
     "ntlink_graph": ("graph.c", []),
     "ntlink_liftover": ("liftover.c", []),
+    "ntlink_sketch": ("sketch.c", []),
 }
 
 
@@ -31,7 +32,7 @@ def build(name: str = "ntlink_fastx", verbose: bool = False) -> str:
     include = sysconfig.get_paths()["include"]
     cmd = [
         os.environ.get("CC", "cc"),
-        "-O2",
+        "-O3",
         "-fPIC",
         "-shared",
         f"-I{include}",

@@ -96,8 +96,9 @@ class KmerHashes:
     valid: np.ndarray      # bool: k-mer contains only ACGT
 
 
-def hash_kmers(codes: np.ndarray, k: int) -> KmerHashes:
-    """Compute all k-mer hashes for a code array (len >= k)."""
+def hash_kmers_gather(codes: np.ndarray, k: int) -> KmerHashes:
+    """O(n·k) gather reference implementation (cross-check for the
+    log-doubling fast path below; same bit-exact outputs)."""
     n = codes.shape[0]
     m = n - k + 1
     if m <= 0:
@@ -113,7 +114,98 @@ def hash_kmers(codes: np.ndarray, k: int) -> KmerHashes:
         fh ^= fwd_tab[j][window]
         rh ^= rev_tab[j][window]
     canonical = (fh + rh) & _MASK64
+    return _finish_kmers(codes, k, m, fh, rh, canonical)
 
+
+_M31 = np.uint64((1 << 31) - 1)
+_M33 = np.uint64((1 << 33) - 1)
+
+
+def _rot_pair(hi: np.ndarray, lo: np.ndarray, d: int):
+    """srol^d on split (hi31, lo33) field arrays."""
+    da, db = d % 31, d % 33
+    if da:
+        hi = ((hi << U64(da)) | (hi >> U64(31 - da))) & _M31
+    if db:
+        lo = ((lo << U64(db)) | (lo >> U64(33 - db))) & _M33
+    return hi, lo
+
+
+def hash_kmers(codes: np.ndarray, k: int) -> KmerHashes:
+    """Compute all k-mer hashes for a code array (len >= k).
+
+    Log-doubling over split (hi31, lo33) rotation fields — the same scheme
+    as the JAX/Pallas kernels (sketch_jax.py module docstring) recast as
+    whole-array NumPy ufuncs: with F_s(i) the width-s forward hash,
+    F_2s(i) = srol^s(F_s(i)) ^ F_s(i+s), so a width-k hash costs
+    O(log k) array passes instead of O(k) table gathers — and ufuncs
+    release the GIL, so HostMapper threads scale (fancy-index gathers do
+    not). Bit-exact vs hash_kmers_gather (see test_sketch.py)."""
+    n = codes.shape[0]
+    m = n - k + 1
+    if m <= 0:
+        z = np.zeros(0, dtype=np.uint64)
+        b = np.zeros(0, dtype=bool)
+        return KmerHashes(z, z.copy(), b, b.copy())
+
+    # width-1 bases (two tiny-table gathers each): S(i) = seed[s(i)],
+    # C(i) = seed[complement(s(i))]; column 4 (N) is zero
+    seeds5 = np.zeros(5, dtype=np.uint64)
+    seeds5[:4] = SEEDS
+    comp5 = np.zeros(5, dtype=np.uint64)
+    comp5[:4] = SEEDS[::-1]
+    s_pack = seeds5[codes]
+    c_pack = comp5[codes]
+    fh_hi = (s_pack >> U64(33)) & _M31
+    fh_lo = s_pack & _M33
+    rh_hi = (c_pack >> U64(33)) & _M31
+    rh_lo = c_pack & _M33
+
+    # powers[s] = (F_s, R_s) split-field arrays of length n-s+1, for every
+    # power-of-two width needed by k's binary decomposition
+    cur_w = 1
+    saved = {}
+    bits = [1 << b for b in range(k.bit_length()) if k & (1 << b)]
+    top = 1 << (k.bit_length() - 1)
+    while True:
+        if cur_w in bits:
+            saved[cur_w] = (fh_hi, fh_lo, rh_hi, rh_lo)
+        if cur_w >= top:
+            break
+        s = cur_w
+        # F_2s(i) = srol^s(F_s(i)) ^ F_s(i+s)
+        a_hi, a_lo = _rot_pair(fh_hi[: -s or None], fh_lo[: -s or None], s)
+        fh_hi = a_hi ^ fh_hi[s:]
+        fh_lo = a_lo ^ fh_lo[s:]
+        # R_2s(i) = R_s(i) ^ srol^s(R_s(i+s))
+        b_hi, b_lo = _rot_pair(rh_hi[s:], rh_lo[s:], s)
+        rh_hi = rh_hi[: -s or None] ^ b_hi
+        rh_lo = rh_lo[: -s or None] ^ b_lo
+        cur_w *= 2
+
+    # compose k from its power-of-two blocks, widest first:
+    # F_{c+s}(i) = srol^s(F_c(i)) ^ F_s(i+c);  R_{c+s}(i) = R_c(i) ^ srol^c(R_s(i+c))
+    fh_hi, fh_lo, rh_hi, rh_lo = saved[top]
+    c = top
+    for s in sorted((b for b in bits if b != top), reverse=True):
+        sf_hi, sf_lo, sr_hi, sr_lo = saved[s]
+        new_len = n - (c + s) + 1
+        a_hi, a_lo = _rot_pair(fh_hi[:new_len], fh_lo[:new_len], s)
+        fh_hi = a_hi ^ sf_hi[c : c + new_len]
+        fh_lo = a_lo ^ sf_lo[c : c + new_len]
+        b_hi, b_lo = _rot_pair(sr_hi[c : c + new_len], sr_lo[c : c + new_len], c)
+        rh_hi = rh_hi[:new_len] ^ b_hi
+        rh_lo = rh_lo[:new_len] ^ b_lo
+        c += s
+
+    fh = (fh_hi << U64(33)) | fh_lo
+    rh = (rh_hi << U64(33)) | rh_lo
+    with np.errstate(over="ignore"):
+        canonical = fh + rh
+    return _finish_kmers(codes, k, m, fh, rh, canonical)
+
+
+def _finish_kmers(codes, k, m, fh, rh, canonical) -> KmerHashes:
     with np.errstate(over="ignore"):
         t = canonical * out_hash_multiplier(k)
     out = t ^ (t >> np.uint64(MULTISHIFT))

@@ -21,8 +21,13 @@ the VPU:
 
 Batches are (B, L) uint8 code tensors padded with 4 (= invalid base); padding
 and k-mers containing N are masked invalid. Sequences containing interior N
-need btllib's windows-over-valid-kmers semantics, which is a compaction — the
-host routes those (rare) reads to the NumPy backend instead.
+need btllib's windows-over-valid-kmers semantics, which is a compaction —
+handled on-device by the compacted-window kernel
+(`sketch_batch_kernel(..., compact_invalid=True)`): invalid k-mers are
+squeezed out with a
+stable segmented sort so the window minimum runs over valid k-mers only,
+bit-exactly matching the NumPy/btllib semantics (see
+test_sketch_n.py / test_sketch_jax.py).
 
 The same jitted function drives single-chip and, via `shard_map` over a data
 axis (parallel.mesh), multi-chip execution.

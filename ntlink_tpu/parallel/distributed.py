@@ -76,70 +76,129 @@ class JaxTransport(Transport):
         ]
 
 
+def _read_pointer(path: str) -> Optional[str]:
+    try:
+        with open(path) as fh:
+            return fh.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def _glob_joins(run_dir: str, rank: int) -> List[str]:
+    """Join files for `rank`, excluding in-flight `.tmp.<pid>` writes."""
+    import glob
+
+    return [
+        p
+        for p in glob.glob(os.path.join(run_dir, f"join.{rank}.*"))
+        if len(os.path.basename(p).split(".")) == 3
+    ]
+
+
 class DirTransport(Transport):
     """Shared-directory collective (NFS deployments, multi-process tests).
 
-    Each call writes `<run-dir>/<seq>.<rank>` atomically (tmp + rename) and
-    waits for all ranks' files; a per-instance sequence number keeps
+    Each call writes `<attempt-dir>/<seq>.<rank>` atomically (tmp + rename)
+    and waits for all ranks' files; a per-instance sequence number keeps
     successive collectives from colliding (all ranks issue collectives in
     the same program order).
 
-    Collectives live in a per-run namespace under the group directory, so a
-    rerun (or a crash-restarted rank) can never silently consume a previous
-    run's blobs: with NTLINK_RUN_ID set (recommended for production
-    launchers) every rank uses `run-<id>`; otherwise rank 0 mints a fresh
-    `run-<nonce>` and publishes it via an atomically-replaced CURRENT
-    pointer, which other ranks accept only if it was published after they
-    started (10 s clock-skew slack) — a stale pointer from an earlier run is
-    hours old and is ignored until the live rank 0 overwrites it, and a
-    desynced restarted rank times out loudly instead of pairing its
-    collective 0 with peers' collective N. Consumed blobs are garbage-
-    collected one collective later (when this rank completes collective
-    `seq`, every rank has completed `seq-1` — see allgather)."""
+    Collectives live in a per-attempt namespace, established by an explicit
+    join handshake (never by file mtimes, which race on quick reruns):
+
+    - rank 0 mints a fresh `attempt-<nonce>` directory and publishes the
+      nonce via an atomically-replaced CURRENT pointer, then waits for a
+      `join.<rank>.<token>` file from every peer inside that directory and
+      acknowledges each with `ack.<rank>.<token>`,
+    - every other rank polls CURRENT, writes its join (with a fresh random
+      token) into whichever attempt is currently published, and only adopts
+      an attempt once it sees the ack matching its own token. A stale
+      CURRENT from an earlier run can never be adopted: its dead rank 0
+      will never ack the fresh token, and the rank keeps following CURRENT
+      until the live rank 0 publishes and acks.
+
+    Because every attempt handshakes a brand-new namespace, back-to-back
+    reruns over the same group directory (with or without NTLINK_RUN_ID,
+    which merely scopes the namespace under `run-<id>`) can never consume a
+    previous attempt's blobs. Old attempt directories are inert litter;
+    callers may delete the group dir between runs. Consumed blobs are
+    garbage-collected one collective later (when this rank completes
+    collective `seq`, every rank has completed `seq-1` — see allgather)."""
 
     def __init__(self, path: str, process_id: int, n_processes: int,
                  timeout: float = 300.0):
+        import uuid
+
         self.process_id = process_id
         self.n_processes = n_processes
         self.timeout = timeout
         self._seq = 0
-        os.makedirs(path, exist_ok=True)
         run_id = os.environ.get("NTLINK_RUN_ID")
-        current = os.path.join(path, "CURRENT")
-        if run_id:
-            self.dir = os.path.join(path, f"run-{run_id}")
-            os.makedirs(self.dir, exist_ok=True)
-        elif process_id == 0:
-            import uuid
-
+        base = os.path.join(path, f"run-{run_id}") if run_id else path
+        os.makedirs(base, exist_ok=True)
+        current = os.path.join(base, "CURRENT")
+        deadline = time.time() + timeout
+        if process_id == 0:
             nonce = uuid.uuid4().hex[:12]
-            self.dir = os.path.join(path, f"run-{nonce}")
+            self.dir = os.path.join(base, f"attempt-{nonce}")
             os.makedirs(self.dir)
-            tmp = current + f".tmp.{os.getpid()}"
-            with open(tmp, "w") as fh:
-                fh.write(nonce)
-            os.replace(tmp, current)
-        else:
-            start = time.time()
-            while True:
-                try:
-                    st = os.stat(current)
-                    if st.st_mtime >= start - 10.0:
-                        with open(current) as fh:
-                            nonce = fh.read().strip()
-                        d = os.path.join(path, f"run-{nonce}")
-                        if os.path.isdir(d):
-                            self.dir = d
-                            break
-                except FileNotFoundError:
-                    pass
-                if time.time() > start + self.timeout:
+            self._publish(current, nonce)
+            pending = set(range(1, n_processes))
+            while pending:
+                for rank in sorted(pending):
+                    for join in _glob_joins(self.dir, rank):
+                        token = join.rsplit(".", 1)[1]
+                        self._publish(
+                            os.path.join(self.dir, f"ack.{rank}.{token}"),
+                            "",
+                        )
+                        pending.discard(rank)
+                if not pending:
+                    break
+                if time.time() > deadline:
                     raise TimeoutError(
-                        f"rank {process_id}: no fresh CURRENT run pointer in "
-                        f"{path} (is rank 0 up? for reruns over a shared dir "
-                        f"set NTLINK_RUN_ID on every rank)"
+                        f"rank 0: ranks {sorted(pending)} never joined "
+                        f"attempt {nonce} in {base} (all ranks must be "
+                        f"launched for every attempt; each attempt "
+                        f"handshakes a fresh namespace, so reuse of the "
+                        f"group dir is safe)"
                     )
                 time.sleep(0.02)
+        else:
+            token = uuid.uuid4().hex[:12]
+            joined: set = set()
+            while True:
+                nonce = _read_pointer(current)
+                if nonce:
+                    d = os.path.join(base, f"attempt-{nonce}")
+                    if os.path.isdir(d):
+                        if nonce not in joined:
+                            self._publish(
+                                os.path.join(
+                                    d, f"join.{process_id}.{token}"
+                                ),
+                                "",
+                            )
+                            joined.add(nonce)
+                        if os.path.exists(
+                            os.path.join(d, f"ack.{process_id}.{token}")
+                        ):
+                            self.dir = d
+                            break
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"rank {process_id}: rank 0 never acknowledged the "
+                        f"join in {base} (is rank 0 up and launched for "
+                        f"this attempt?)"
+                    )
+                time.sleep(0.02)
+
+    @staticmethod
+    def _publish(path: str, content: str) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, path)
 
     def allgather(self, blob: bytes) -> List[bytes]:
         seq = self._seq
@@ -156,7 +215,10 @@ class DirTransport(Transport):
             while not os.path.exists(path):
                 if time.time() > deadline:
                     raise TimeoutError(
-                        f"rank {rank} never produced {path}"
+                        f"rank {rank} never produced {path} (every attempt "
+                        f"over a group dir handshakes its own namespace; a "
+                        f"missing blob means that rank died or was never "
+                        f"launched — relaunch all ranks together)"
                     )
                 time.sleep(0.02)
             with open(path, "rb") as fh:

@@ -30,7 +30,11 @@ _FIB = 0x9E3779B1  # 32-bit Fibonacci hashing constant
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
+    # local (addressable) devices only: under multi-process runs each host
+    # maps its own read-file shard on its own chips (host parallelism is
+    # by file sharding, distributed.py), so the mapping mesh never spans
+    # non-addressable devices.
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), ("data",))

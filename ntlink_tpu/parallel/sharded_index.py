@@ -115,7 +115,7 @@ class ShardedDeviceIndex:
 
 def make_mesh_2d(idx_shards: int, n_devices: int = None) -> Mesh:
     """2-D (data, idx) mesh over the local devices."""
-    devices = jax.devices()
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)

@@ -322,6 +322,17 @@ def map_reads(
     chainer = None
     if mapper is not None:
         chainer = _make_native_chainer(mapper, contig_lengths)
+    else:
+        # no device (backend=numpy or JAX unavailable): the strongest CPU
+        # path — threaded NumPy sketch+join feeding the same native C
+        # chain/verbose/PAF batch loop (byte-identical output); falls back
+        # to the generic object path only if the C chainer didn't build
+        from .host_map import HostMapper
+
+        host = HostMapper(index, cfg.k, cfg.w, threads=cfg.t)
+        chainer = _make_native_chainer(host, contig_lengths)
+        if chainer is not None:
+            mapper = host
 
     try:
         if chainer is not None:

@@ -107,7 +107,26 @@ def test_dir_transport_gc_and_run_id(tmp_path, monkeypatch):
     ]
     run_dir = os.path.join(base, "run-testrun")
     assert os.path.isdir(run_dir)
-    left = sorted(os.path.basename(p) for p in glob.glob(f"{run_dir}/*"))
+    attempts = glob.glob(os.path.join(run_dir, "attempt-*"))
+    assert len(attempts) == 1, attempts
+    blobs = sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{attempts[0]}/*")
+        if os.path.basename(p)[0].isdigit()
+    )
     # seq 0 and 1 blobs were GC'd when collectives 1 and 2 completed; only
     # the final collective's blobs remain
-    assert left == ["2.0", "2.1"], left
+    assert blobs == ["2.0", "2.1"], blobs
+
+
+def test_dir_transport_run_id_rerun_is_isolated(tmp_path, monkeypatch):
+    """Reusing the SAME NTLINK_RUN_ID for a second attempt must still never
+    consume the first attempt's leftover final-collective blobs (each
+    attempt handshakes a fresh namespace under run-<id>)."""
+    monkeypatch.setenv("NTLINK_RUN_ID", "pinned")
+    base = str(tmp_path / "group")
+    outs1 = _run_dir_group(base, 2, [[b"r0-a"], [b"r1-a"]])
+    assert outs1[0][0] == [b"r0-a", b"r1-a"]
+    outs2 = _run_dir_group(base, 2, [[b"r0-b"], [b"r1-b"]])
+    assert outs2[0][0] == [b"r0-b", b"r1-b"]
+    assert outs2[1][0] == [b"r0-b", b"r1-b"]

@@ -94,3 +94,47 @@ def test_two_process_run_matches_single(tmp_path):
             f for f in os.listdir(tmp_path / f"rank{pid}") if ".part" in f
         ]
         assert leftovers == []
+
+
+def _free_port():
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_jax_transport_matches_single(tmp_path):
+    """Same byte-parity scenario over the jax.distributed coordinator
+    transport (the TPU-pod path, distributed.py JaxTransport) instead of
+    the shared-directory transport."""
+    single = tmp_path / "single"
+    _setup(single)
+    proc = _run(single)
+    out, _ = proc.communicate(timeout=600)
+    assert proc.returncode == 0, out[-3000:]
+
+    coord = f"127.0.0.1:{_free_port()}"
+    ranks = []
+    for pid in range(2):
+        d = tmp_path / f"jrank{pid}"
+        _setup(d)
+        ranks.append(
+            _run(
+                d,
+                {
+                    "NTLINK_COORDINATOR": coord,
+                    "NTLINK_NUM_PROCESSES": "2",
+                    "NTLINK_PROCESS_ID": str(pid),
+                },
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in ranks]
+    for p, out in zip(ranks, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    for artifact in ARTIFACTS:
+        for pid in range(2):
+            a = single / artifact
+            b = tmp_path / f"jrank{pid}" / artifact
+            assert filecmp.cmp(a, b, shallow=False), (artifact, pid)
