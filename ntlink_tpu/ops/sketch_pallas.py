@@ -23,8 +23,10 @@ Key TPU mappings (shared math lives in ops.sketch_jax):
 - everything is uint32/int32; no 64-bit integers exist on the datapath.
 
 Scope: N-free rows (the production packed path guarantees this; N-containing
-reads take the NumPy fallback), L a multiple of 128, k-mer validity purely
-positional. Bit-exact against the NumPy reference backend (tests).
+reads batch on-device through the XLA compacted-window kernel,
+sketch_jax.sketch_batch_kernel(compact_invalid=True)), L a multiple of 128,
+k-mer validity purely positional. Bit-exact against the NumPy reference
+backend (tests).
 """
 from __future__ import annotations
 
