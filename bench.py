@@ -208,6 +208,83 @@ def _kernel_bench():
         "pallas",
     )
 
+    # roofline: demonstrated VPU peak from a throughput-shaped u32
+    # microkernel (a width-32 independent op DAG per loop iteration —
+    # narrow loop-carried chains measure latency, not throughput, and
+    # width >= 64 fails to compile; 32 was the max/best measured:
+    # 1679/1921/2570 GOPS at width 8/16/32), fully VMEM-resident, result
+    # force-fetched (block_until_ready has been observed to return early
+    # through the tunnel). Sketch utilization = (analytic ops/base x
+    # measured Gbase/s) / demonstrated peak; ops/base counts the fused
+    # kernel's elementwise + roll ops (sketch_pallas.kernel_ops_per_base;
+    # derivation in DESIGN.md "Sketch kernel roofline").
+    try:
+        from jax.experimental import pallas as pl
+
+        from ntlink_tpu.ops.sketch_pallas import kernel_ops_per_base
+
+        SH = (256, 1024)
+        WIDTH = 32
+
+        def make_micro(iters):
+            def kern(x_ref, o_ref):
+                a = x_ref[:, :]
+                b = a ^ jnp.uint32(0xDEADBEEF)
+
+                def body(_, carry):
+                    a, b = carry
+                    ts = [a ^ jnp.uint32(0x9E3779B1 + i)
+                          for i in range(WIDTH // 2)]
+                    us = [b + jnp.uint32(0x85EBCA6B + i)
+                          for i in range(WIDTH // 2)]
+                    vs = [t + u for t, u in zip(ts, us)]
+                    acc1 = vs[0]
+                    for v in vs[1 : len(vs) // 2]:
+                        acc1 = acc1 ^ v
+                    acc2 = vs[len(vs) // 2]
+                    for v in vs[len(vs) // 2 + 1 :]:
+                        acc2 = acc2 + v
+                    return acc1, acc2
+
+                a, b = jax.lax.fori_loop(0, iters, body, (a, b))
+                o_ref[:, :] = a ^ b
+
+            p = pl.pallas_call(
+                kern, out_shape=jax.ShapeDtypeStruct(SH, jnp.uint32)
+            )
+            return jax.jit(lambda x: p(x).sum())
+
+        n_ops = WIDTH + WIDTH // 2 + (WIDTH // 2 - 2) + 1
+        numel = SH[0] * SH[1]
+        R_S, R_L = 8_192, 40_960
+        micro_times = {}
+        x = jnp.asarray(rng.integers(0, 2**32, SH, dtype=np.uint32))
+        for iters in (R_S, R_L):
+            f = make_micro(iters)
+            int(f(x))  # compile + warm; int() forces a real D2H
+            best = None
+            for _ in range(3):
+                x = x + jnp.uint32(1)
+                t0 = time.time()
+                int(f(x))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            micro_times[iters] = best
+        per_iter = max(micro_times[R_L] - micro_times[R_S], 1e-9) / (R_L - R_S)
+        vpu_peak = n_ops * numel / per_iter
+        out["vpu_demonstrated_peak_gops"] = round(vpu_peak / 1e9, 1)
+        opb = kernel_ops_per_base(K, W)
+        out["sketch_ops_per_base"] = opb
+        achieved = out.get("sketch_pallas_gbase_per_s", 0.0) * 1e9 * opb
+        out["sketch_effective_gops"] = round(achieved / 1e9, 1)
+        # vs a demonstrated FLOOR of true peak (the best constructible
+        # microkernel): values >= 100 mean the fused kernel is at least as
+        # issue-dense as that microkernel — headroom is in ops/base, not
+        # scheduling
+        out["sketch_vpu_util_pct"] = round(100.0 * achieved / vpu_peak, 1)
+    except Exception as exc:
+        print(f"# vpu roofline unavailable: {exc}", file=sys.stderr)
+
     # column-chunked kernel in the long-read regime (rows past the single-
     # tile VMEM gate); fewer chain iterations — same Gbase/iter as above
     B_c, L_c = 512, 65536

@@ -125,16 +125,19 @@ def remove_edge_rc(g: ScaffoldGraph, u: str, v: str) -> None:
         g.remove_edge(fv, fu)
 
 
-def prune_tips(g: ScaffoldGraph) -> int:
+def prune_tips(g: ScaffoldGraph, support_weighted: bool = True) -> int:
     """Drop links into dead-end branches, iterating to a fixpoint.
 
     A tip is a vertex t with in_degree==1 and out_degree==0 whose sole
-    predecessor u branches (out_degree(u) > 1). A tip link is cut only
-    when it is strictly weaker than u's best-supported out-edge: a
-    dead-end that carries the strongest evidence is kept (it may be the
-    genuine chromosome end) and the ambiguity stands. Mirrors ABySS
-    Scaffold's pruneTips on the doubled graph; returns the number of
-    removed links.
+    predecessor u branches (out_degree(u) > 1). With
+    `support_weighted=True` (the default, measured better on the synthetic
+    truth oracle — scripts/layout_oracle.py, table in DESIGN.md) a tip
+    link is cut only when it is strictly weaker than u's best-supported
+    out-edge: a dead-end that carries the strongest evidence is kept (it
+    may be the genuine chromosome end) and the ambiguity stands.
+    `support_weighted=False` is the purely topological ABySS-style variant
+    (every tip off a branching predecessor is cut), kept for the oracle
+    comparison. Returns the number of removed links.
     """
     removed = 0
     changed = True
@@ -149,8 +152,14 @@ def prune_tips(g: ScaffoldGraph) -> int:
                 t for t in succs
                 if g.out_degree(t) == 0
                 and g.in_degree(t) == 1
-                and g.edge(u, t).n < best_n
+                and (not support_weighted or g.edge(u, t).n < best_n)
+                and g.out_degree(u) > 1
             ]
+            if not support_weighted and len(doomed) == len(succs):
+                # topological mode: never strand the predecessor entirely —
+                # keep its best-supported continuation
+                best_t = max(doomed, key=lambda t: g.edge(u, t).n)
+                doomed = [t for t in doomed if t != best_t]
             for t in doomed:
                 remove_edge_rc(g, u, t)
                 removed += 1
@@ -212,13 +221,14 @@ def remove_weak_edges(g: ScaffoldGraph) -> int:
     return len(weak)
 
 
-def resolve_ambiguities(g: ScaffoldGraph) -> None:
+def resolve_ambiguities(g: ScaffoldGraph, support_weighted_tips: bool = True
+                        ) -> None:
     """ABySS Scaffold's resolution sequence: tips, repeats, weak edges,
     tips again (in place). No-op on fully unambiguous graphs."""
-    prune_tips(g)
+    prune_tips(g, support_weighted_tips)
     remove_repeats(g)
     remove_weak_edges(g)
-    prune_tips(g)
+    prune_tips(g, support_weighted_tips)
 
 
 @dataclass

@@ -265,3 +265,49 @@ def sketch_batch_pallas(codes, lengths, k: int, w: int, interpret: bool = False)
         winner[:, :NW],
         emit[:, :NW].astype(jnp.bool_),
     )
+
+
+def kernel_ops_per_base(k: int, w: int) -> int:
+    """Analytic VPU op count per (row, lane) element of the fused kernel.
+
+    Counts every elementwise uint32 op and every lane-roll as one VPU op
+    (a roll is at least one op; this makes the count — and therefore the
+    derived utilization — slightly optimistic about the kernel, i.e.
+    conservative about remaining headroom). Mirrors the exact code paths
+    of _make_kernel + sketch_jax.sliding_hashes; the derivation is spelled
+    out in DESIGN.md ("Sketch kernel roofline")."""
+
+    def srol_cost(d: int) -> int:
+        c = 0
+        if d % 31:
+            c += 4   # hi31 rotate: shl, shr, or, and
+        if d % 33:
+            c += 7   # 33-bit rotate on (bit32, lo32): 2 + 5 ops
+        return c
+
+    ops = 6 * 6  # select4 x 6 planes: 3 compares + 3 selects each
+    bits = [1 << b for b in range(32) if (k >> b) & 1]
+    s, done = 1, 0
+    for bit in bits:
+        while s < bit:
+            # F: 3 rolls + srol_planes + 3 xor; R identical
+            ops += 2 * (3 + srol_cost(s) + 3)
+            s *= 2
+        sh = k - done - s
+        if sh:
+            ops += 2 * 3  # termF/termR shifts
+        if done:
+            ops += srol_cost(done) + 3          # accF: srol + xor
+            ops += srol_cost(bit) + 3           # accR: srol + xor
+        done += s
+    ops += 4          # pack fh_hi / rh_hi: (<<1 | bit32) x 2
+    ops += 5          # canonical: lo add, carry cmp+cast, hi 2 adds
+    ops += 5          # fwd: lt, eq, le, and, or
+    ops += 4          # invalid lane mask + 2 key selects
+    span = 1
+    while span * 2 <= w:
+        ops += 3 + 5 + 3   # rolls + _lex_lt2 + selects
+        span *= 2
+    ops += (3 if w - span else 0) + 5 + 2  # final combine
+    ops += 11          # emit: roll, prev, n_win, mask chain
+    return ops
