@@ -39,6 +39,22 @@ def sketch_sequences(
 ) -> Iterator[Tuple[str, int, Minimizers]]:
     """Yield (name, seq_len, Minimizers) per input sequence."""
     if backend is None:
+        from .native import sketch_module
+
+        sm = sketch_module()
+        if sm is not None:
+            # native rolling sketcher (bit-exact vs nthash_np; ~3x the
+            # vectorized NumPy hasher at assembly scale)
+            import numpy as np
+
+            for name, seq in named_seqs:
+                _, hb, pb, fb = sm.sketch(nthash_np.encode(seq), k, w)
+                yield name, len(seq), Minimizers(
+                    np.frombuffer(hb, np.uint64),
+                    np.frombuffer(pb, np.int64),
+                    np.frombuffer(fb, np.uint8).astype(bool),
+                )
+            return
         for name, seq in named_seqs:
             yield name, len(seq), nthash_np.sketch_sequence(seq, k, w)
     else:
