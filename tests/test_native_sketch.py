@@ -110,7 +110,11 @@ def test_host_mapper_matches_device_semantics():
     for i in range(8):
         s = int(rng.integers(0, 20_000))
         seq = contig[s : s + 12_000]
-        reads.append((f"r{i}", nt.encode(seq)))
+        codes = nt.encode(seq)
+        if i % 2:  # interior Ns: windows must span gaps identically
+            codes = codes.copy()
+            codes[rng.integers(0, len(codes), 40)] = 4
+        reads.append((f"r{i}", codes))
     hm = HostMapper(index, k, w, threads=2)
     dm = DeviceMapper(index, k, w, use_mesh=False)
     host = {n: raw for n, _, raw in hm.map_stream_raw(iter(reads))}
