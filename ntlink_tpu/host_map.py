@@ -48,12 +48,20 @@ class HostMapper:
 
         self._sm = sketch_module()
         if self._sm is not None:
+            # zero-copy when the index arrays already have the right
+            # dtype/layout (they do for finalized indexes)
             self._idx_bufs = (
                 np.ascontiguousarray(index.hashes),
-                np.ascontiguousarray(index.contig_ids, dtype=np.int32),
-                np.ascontiguousarray(index.positions, dtype=np.int32),
                 np.ascontiguousarray(
-                    index.strands.astype(np.uint8, copy=False)
+                    np.asarray(index.contig_ids, dtype=np.int32)
+                ),
+                np.ascontiguousarray(
+                    np.asarray(index.positions, dtype=np.int32)
+                ),
+                np.ascontiguousarray(
+                    index.strands.view(np.uint8)
+                    if index.strands.dtype == np.bool_
+                    else np.asarray(index.strands, dtype=np.uint8)
                 ),
             )
 
