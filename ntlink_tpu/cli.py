@@ -52,7 +52,7 @@ _INT_KEYS = {
     "small_k", "small_w", "gap_k", "gap_w", "rounds", "batch_bases", "v",
     "idx_shards",
 }
-_FLOAT_KEYS = {"x"}
+_FLOAT_KEYS = {"x", "hybrid_host_frac"}
 
 HELP = f"""ntlink-tpu v{__version__}: TPU-native long-read scaffolding
 
@@ -77,7 +77,9 @@ Common options (reference-compatible defaults):
   merge_gap=0 small_k=15 small_w=5 gap_k=20 gap_w=10 soft_mask=False
   prefix=<target>.k<k>.w<w>.z<z>  paf=False verbose=True
 Engine options:
-  backend=auto|jax|numpy   (device sketching vs portable NumPy)
+  backend=auto|jax|numpy|hybrid  (device, portable CPU, or both at once;
+                            hybrid splits reads device+host adaptively —
+                            hybrid_host_frac=0..1 pins a static share)
 """
 
 

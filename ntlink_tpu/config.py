@@ -50,7 +50,8 @@ class ScaffoldConfig:
     v: int = 0             # v=1: per-stage time/RSS tracing (reference ntLink:100)
 
     # engine knobs (no reference analogue)
-    backend: str = "auto"          # "auto" | "jax" | "numpy"
+    backend: str = "auto"          # "auto" | "jax" | "numpy" | "hybrid"
+    hybrid_host_frac: float = -1.0  # hybrid: host share in [0,1]; <0 = adaptive
     batch_bases: int = 8_000_000   # device batch budget in bases
     index_sharding: str = "replicated"  # "replicated" | "hash" (2-D mesh)
     idx_shards: int = 0            # hash-sharded table shards (0 = auto)

@@ -65,7 +65,9 @@ class HostMapper:
                 ),
             )
 
-    def _one(self, name: str, codes: np.ndarray):
+    def _one(self, name: str, codes):
+        if not isinstance(codes, np.ndarray):
+            codes = nthash_np.encode(codes)
         if len(codes) < self.k:
             return name, len(codes), None
         if self._sm is not None:

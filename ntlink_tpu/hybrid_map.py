@@ -1,0 +1,246 @@
+"""Hybrid CPU+TPU mapping: drive the device and the host C path together.
+
+When the device leg is transfer-bound (bench.py `wire_bound_fraction` near
+1.0 — the normal state behind a slow host<->device link, and common even on
+healthy hosts once the kernel saturates the wire), the host cores sit idle
+while the chip waits on transfers. `HybridMapper` splits the read stream
+between a `DeviceMapper` and a `HostMapper` (native/sketch.c + C chaining),
+runs both concurrently, and re-emits results strictly in input order — so
+every downstream artifact (verbose TSV, PAF, tally order) is byte-identical
+to either path alone: both paths produce identical raw anchor payloads
+(tests/test_native_sketch.py payload parity), and the assignment policy can
+therefore never change outputs, only speed.
+
+Design (deadlock-free by construction):
+
+- each path gets ONE persistent `map_stream_raw` stream for the whole run
+  (the device's internal 3-thread batching pipeline stays warm), fed from
+  an unbounded per-path queue via a blocking generator that ends when the
+  hybrid stream ends,
+- both mappers deliver strictly in their own input order, so a per-path
+  FIFO of sequence numbers matches outputs positionally,
+- results land in a seq-indexed reorder buffer; the main thread yields the
+  contiguous prefix as it forms (and blocks only at end-of-input, when
+  both runners are guaranteed to terminate: their input generators end,
+  the mappers flush),
+- scheduling is push-greedy: a block of reads goes to the path with the
+  smaller projected completion time (pending_bases / measured service
+  rate). Service rate is an EMA measured over busy spans only (idle time
+  between assignments never depresses a path's rate). Any policy is
+  correct; this one just balances load.
+
+Select with `backend=hybrid` (cfg/CLI); `hybrid_host_frac` in [0, 1] pins
+a static host share instead (tests / manual tuning).
+"""
+from __future__ import annotations
+
+import sys
+import threading
+import time
+from collections import deque
+from typing import Iterable, Iterator, Optional, Tuple
+
+BLOCK_READS = 64
+SKEW_WARN = 100_000  # undelivered-result warning threshold
+
+
+class _Runner:
+    """One mapping path: queue -> persistent mapper stream -> reorder buf."""
+
+    def __init__(self, name: str, mapper, sink, prior_rate: float):
+        self.name = name
+        self.mapper = mapper
+        self.sink = sink
+        self.lock = threading.Lock()
+        self.cond = threading.Condition(self.lock)
+        self.queue: deque = deque()     # (seq, name, codes)
+        self.fifo: deque = deque()      # seqs in fed order
+        self.closed = False
+        self.error: Optional[BaseException] = None
+        self.pending_bases = 0
+        self.rate = prior_rate          # bases/s EMA over busy spans
+        self._span_start = 0.0
+        self._span_bases = 0
+        self.reads_done = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+
+    def submit(self, block) -> None:
+        with self.lock:
+            if self.pending_bases == 0:
+                self._span_start = time.perf_counter()
+                self._span_bases = 0
+            for seq, name, codes in block:
+                self.queue.append((seq, name, codes))
+                self.fifo.append(seq)
+                self.pending_bases += len(codes)
+            self.cond.notify()
+
+    def close(self) -> None:
+        with self.lock:
+            self.closed = True
+            self.cond.notify()
+
+    def join(self) -> None:
+        self._thread.join()
+        if self.error is not None:
+            raise self.error
+
+    def projected_wait(self, n_bases: int) -> float:
+        with self.lock:
+            return (self.pending_bases + n_bases) / max(self.rate, 1.0)
+
+    def _input_gen(self):
+        while True:
+            with self.lock:
+                while not self.queue and not self.closed:
+                    self.cond.wait()
+                if not self.queue:
+                    return
+                _, name, codes = self.queue.popleft()
+            yield name, codes
+
+    def _run(self):
+        try:
+            for _, ln, raw in self.mapper.map_stream_raw(self._input_gen()):
+                with self.lock:
+                    seq = self.fifo.popleft()
+                    self.pending_bases -= ln
+                    self._span_bases += ln
+                    self.reads_done += 1
+                    dt = time.perf_counter() - self._span_start
+                    if dt > 0.05 and self._span_bases > 0:
+                        inst = self._span_bases / dt
+                        self.rate = 0.7 * self.rate + 0.3 * inst
+                self.sink.post(seq, raw)
+        except BaseException as exc:
+            self.error = exc
+            self.sink.abort(exc)
+
+
+class _ReorderSink:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.cond = threading.Condition(self.lock)
+        self.buf = {}
+        self.next = 0
+        self.error: Optional[BaseException] = None
+        self._warned = False
+
+    def post(self, seq: int, raw) -> None:
+        with self.lock:
+            self.buf[seq] = raw
+            if len(self.buf) > SKEW_WARN and not self._warned:
+                self._warned = True
+                print(
+                    "# ntlink hybrid: reorder buffer exceeds "
+                    f"{SKEW_WARN} results (device stalled?)",
+                    file=sys.stderr,
+                )
+            self.cond.notify()
+
+    def abort(self, exc: BaseException) -> None:
+        with self.lock:
+            if self.error is None:
+                self.error = exc
+            self.cond.notify()
+
+    def pop_ready(self):
+        """Non-blocking: pop the currently contiguous prefix."""
+        out = []
+        with self.lock:
+            if self.error is not None:
+                raise self.error
+            while self.next in self.buf:
+                out.append(self.buf.pop(self.next))
+                self.next += 1
+        return out
+
+    def pop_blocking(self, upto: int):
+        """Pop (blocking) until `upto` results have been delivered."""
+        while True:
+            with self.lock:
+                while (
+                    self.next < upto
+                    and self.next not in self.buf
+                    and self.error is None
+                ):
+                    self.cond.wait()
+                if self.error is not None:
+                    raise self.error
+                if self.next >= upto:
+                    return
+                raw = self.buf.pop(self.next)
+                self.next += 1
+            yield raw
+
+
+class HybridMapper:
+    """Split one read stream across a DeviceMapper and a HostMapper."""
+
+    def __init__(self, device_mapper, host_mapper, host_frac: float = -1.0):
+        self.device = device_mapper
+        self.host = host_mapper
+        self.host_frac = host_frac  # < 0: adaptive
+        self.contig_names = device_mapper.contig_names
+        self._contig_order = device_mapper._contig_order
+        self.host_reads = 0
+        self.device_reads = 0
+
+    def map_stream_raw(
+        self, named_codes: Iterable[Tuple[str, object]]
+    ) -> Iterator[Tuple[str, int, Optional[tuple]]]:
+        sink = _ReorderSink()
+        dev = _Runner("device", self.device, sink, prior_rate=40e6)
+        host = _Runner("host", self.host, sink, prior_rate=15e6)
+        dev.start()
+        host.start()
+
+        meta = {}
+        seq = 0
+        delivered = 0
+        block = []
+        block_idx = 0
+        try:
+            for name, codes in named_codes:
+                meta[seq] = (name, len(codes))
+                block.append((seq, name, codes))
+                seq += 1
+                if len(block) >= BLOCK_READS:
+                    self._dispatch(dev, host, block, block_idx)
+                    block_idx += 1
+                    block = []
+                    for raw in sink.pop_ready():
+                        name_o, ln_o = meta.pop(delivered)
+                        delivered += 1
+                        yield name_o, ln_o, raw
+            if block:
+                self._dispatch(dev, host, block, block_idx)
+            dev.close()
+            host.close()
+            for raw in sink.pop_blocking(seq):
+                name_o, ln_o = meta.pop(delivered)
+                delivered += 1
+                yield name_o, ln_o, raw
+            dev.join()
+            host.join()
+            self.host_reads = host.reads_done
+            self.device_reads = dev.reads_done
+        finally:
+            dev.close()
+            host.close()
+
+    def _dispatch(self, dev, host, block, block_idx) -> None:
+        n_bases = sum(len(c) for _, _, c in block)
+        if self.host_frac >= 0.0:
+            go_host = (block_idx % 100) < round(self.host_frac * 100)
+        else:
+            go_host = host.projected_wait(n_bases) < dev.projected_wait(
+                n_bases
+            )
+        if go_host:
+            host.submit(block)
+        else:
+            dev.submit(block)

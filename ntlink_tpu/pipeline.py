@@ -14,6 +14,7 @@ from typing import Dict, Optional
 
 from .config import ScaffoldConfig
 from .graphio import graph_from_tally, largest_ntlink_id, write_dot
+from .hybrid_map import HybridMapper
 from .tracing import GLOBAL as tracer
 from .index import ContigIndex
 from .mapping import AnchorHit, chain_read_hits
@@ -314,14 +315,35 @@ def map_reads(
     """
     if tally is None:
         tally = PairTally(contig_lengths, cfg.k, cfg.f)
-    verbose_fh = open(verbose_path, "wb") if verbose_path else None
-    paf_fh = open(paf_path, "wb") if paf_path else None
+    # crash safety: stream into .tmp and rename only on success, so a
+    # killed run can never leave a truncated verbose_mapping.tsv behind —
+    # which a rerun would silently trust as a complete mapping checkpoint
+    # (the reference only cleans up on catchable exceptions,
+    # ntlink_pair.py:608-613; SIGKILL bypasses both there and here)
+    verbose_tmp = f"{verbose_path}.tmp" if verbose_path else None
+    paf_tmp = f"{paf_path}.tmp" if paf_path else None
+    verbose_fh = open(verbose_tmp, "wb") if verbose_path else None
+    paf_fh = open(paf_tmp, "wb") if paf_path else None
 
     if mapper is None:
         mapper = _make_device_mapper(cfg, index)
     chainer = None
     if mapper is not None:
         chainer = _make_native_chainer(mapper, contig_lengths)
+        if (
+            chainer is not None
+            and cfg.backend == "hybrid"
+            and not isinstance(mapper, HybridMapper)
+        ):
+            # split the stream across the device and the host C path;
+            # output order (hence every artifact byte) is unchanged
+            from .host_map import HostMapper
+
+            mapper = HybridMapper(
+                mapper,
+                HostMapper(index, cfg.k, cfg.w, threads=max(1, cfg.t - 1)),
+                cfg.hybrid_host_frac,
+            )
     else:
         # no device (backend=numpy or JAX unavailable): the strongest CPU
         # path — threaded NumPy sketch+join feeding the same native C
@@ -346,7 +368,7 @@ def map_reads(
             )
     except Exception:
         # mirror the reference's partial-output cleanup (ntlink_pair.py:608-613)
-        for fh, path in ((verbose_fh, verbose_path), (paf_fh, paf_path)):
+        for fh, path in ((verbose_fh, verbose_tmp), (paf_fh, paf_tmp)):
             if fh:
                 fh.close()
                 os.unlink(path)
@@ -355,6 +377,10 @@ def map_reads(
         for fh in (verbose_fh, paf_fh):
             if fh and not fh.closed:
                 fh.close()
+    if verbose_path:
+        os.replace(verbose_tmp, verbose_path)
+    if paf_path:
+        os.replace(paf_tmp, paf_path)
     log("Mapped", n_reads, "reads")
     return tally
 

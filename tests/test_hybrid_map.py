@@ -1,0 +1,170 @@
+"""Hybrid (device+host) mapping: ordering, payload parity, e2e bytes."""
+import filecmp
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from conftest import REF_TESTS_DIR
+
+from ntlink_tpu.device_map import DeviceMapper
+from ntlink_tpu.host_map import HostMapper
+from ntlink_tpu.hybrid_map import HybridMapper
+from ntlink_tpu.index import ContigIndex
+from ntlink_tpu.native import chain_module, sketch_module
+from ntlink_tpu.ops import nthash_np as nt
+
+pytestmark = pytest.mark.skipif(
+    chain_module() is None or sketch_module() is None,
+    reason="C build unavailable",
+)
+
+K, W = 32, 100
+
+
+def _workload(n_reads=300, seed=9):
+    rng = np.random.default_rng(seed)
+    contig = "".join("ACGT"[c] for c in rng.integers(0, 4, 120_000))
+    index = ContigIndex.from_sketches(
+        [("c1", nt.sketch_sequence(contig, K, W))]
+    )
+    reads = []
+    for i in range(n_reads):
+        s = int(rng.integers(0, 100_000))
+        ln = int(rng.integers(K, 15_000))
+        codes = nt.encode(contig[s : s + ln])
+        if i % 7 == 0:
+            codes = codes.copy()
+            codes[rng.integers(0, len(codes), 5)] = 4
+        reads.append((f"r{i}", codes))
+    return index, reads
+
+
+@pytest.mark.parametrize("host_frac", [-1.0, 0.0, 0.5, 1.0])
+def test_hybrid_matches_device_payloads(host_frac):
+    index, reads = _workload()
+    dm = DeviceMapper(index, K, W)
+    hm = HostMapper(index, K, W, threads=2)
+    hy = HybridMapper(DeviceMapper(index, K, W), hm, host_frac=host_frac)
+
+    want = list(dm.map_stream_raw(iter(reads)))
+    got = list(hy.map_stream_raw(iter(reads)))
+    assert [g[0] for g in got] == [r[0] for r in reads]  # strict order
+    assert len(got) == len(want)
+    for (gn, gl, graw), (wn, wl, wraw) in zip(got, want):
+        assert (gn, gl) == (wn, wl)
+        assert (graw is None) == (wraw is None)
+        if wraw is None:
+            continue
+        assert graw[0] == wraw[0]
+        for a, b in zip(graw[1:], wraw[1:]):
+            assert np.array_equal(np.asarray(a)[: wraw[0]],
+                                  np.asarray(b)[: wraw[0]]), gn
+    if host_frac == 1.0:
+        assert hy.host_reads == len(reads)
+    if host_frac == 0.0:
+        assert hy.device_reads == len(reads)
+
+
+def test_hybrid_adaptive_uses_both_paths():
+    index, reads = _workload(n_reads=1200)
+    hy = HybridMapper(
+        DeviceMapper(index, K, W),
+        HostMapper(index, K, W, threads=2),
+        host_frac=-1.0,
+    )
+    for _ in hy.map_stream_raw(iter(reads)):
+        pass
+    assert hy.host_reads + hy.device_reads == len(reads)
+    # adaptive policy should not degenerate to a single path on a stream
+    # this long (both priors are finite)
+    assert hy.host_reads > 0
+    assert hy.device_reads > 0
+
+
+def test_hybrid_propagates_worker_errors():
+    index, reads = _workload(n_reads=100)
+
+    class Boom:
+        contig_names = index.contig_names
+        _contig_order = {n: i for i, n in enumerate(index.contig_names)}
+
+        def map_stream_raw(self, it):
+            for i, (name, codes) in enumerate(it):
+                if i == 10:
+                    raise RuntimeError("boom")
+                yield name, len(codes), None
+
+    hy = HybridMapper(
+        Boom(), HostMapper(index, K, W, threads=2), host_frac=0.0
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in hy.map_stream_raw(iter(reads)):
+            pass
+
+
+def test_crashed_mapping_leaves_no_partial_checkpoint(tmp_path):
+    """A mapping failure must leave neither verbose_mapping.tsv nor its
+    .tmp behind — a truncated file would be silently trusted as a complete
+    checkpoint on rerun (crash-safety: tmp + rename-on-success)."""
+    from ntlink_tpu import pipeline
+    from ntlink_tpu.config import ScaffoldConfig
+
+    index, reads = _workload(n_reads=50)
+
+    class Boom:
+        contig_names = index.contig_names
+        _contig_order = {n: i for i, n in enumerate(index.contig_names)}
+
+        def map_stream_raw(self, it):
+            for i, (name, codes) in enumerate(it):
+                if i == 10:
+                    raise RuntimeError("boom")
+                yield name, len(codes), None
+
+    reads_fa = tmp_path / "reads.fa"
+    with open(reads_fa, "w") as fh:
+        for name, codes in reads:
+            fh.write(f">{name}\n{'ACGT' * 16}\n")
+    cfg = ScaffoldConfig(k=K, w=W, z=1000, reads=[str(reads_fa)])
+    verbose = str(tmp_path / "verbose_mapping.tsv")
+    lengths = {"c1": 120_000}
+    with pytest.raises(RuntimeError, match="boom"):
+        pipeline.map_reads(cfg, index, lengths, verbose, None, mapper=Boom())
+    assert not os.path.exists(verbose)
+    assert not os.path.exists(verbose + ".tmp")
+
+
+def test_hybrid_e2e_scaffold_bytes(tmp_path):
+    """backend=hybrid produces byte-identical artifacts to backend=auto."""
+    from ntlink_tpu.config import ScaffoldConfig
+    from ntlink_tpu.pipeline import run_scaffold
+
+    outs = {}
+    for backend in ("auto", "hybrid"):
+        d = tmp_path / backend
+        os.makedirs(d)
+        for f in ("scaffolds_2.fa", "long_reads_2.fq.gz"):
+            shutil.copy(os.path.join(REF_TESTS_DIR, f), d)
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            cfg = ScaffoldConfig(
+                target="scaffolds_2.fa", reads=["long_reads_2.fq.gz"],
+                k=32, w=100, z=1000, verbose=True, backend=backend,
+                hybrid_host_frac=0.5,
+            )
+            run_scaffold(cfg, gap_fill=False)
+        finally:
+            os.chdir(cwd)
+        outs[backend] = d
+    prefix = "scaffolds_2.fa.k32.w100.z1000"
+    for artifact in (
+        f"{prefix}.verbose_mapping.tsv",
+        f"{prefix}.n1.scaffold.dot",
+        f"{prefix}.stitch.abyss-scaffold.fa",
+    ):
+        a = outs["auto"] / artifact
+        b = outs["hybrid"] / artifact
+        assert filecmp.cmp(a, b, shallow=False), artifact
