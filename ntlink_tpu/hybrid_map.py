@@ -41,7 +41,9 @@ from collections import deque
 from typing import Iterable, Iterator, Optional, Tuple
 
 BLOCK_READS = 64
-SKEW_WARN = 100_000  # undelivered-result warning threshold
+SKEW_WARN = 100_000   # undelivered-result warning threshold
+BUF_CAP = 200_000     # undelivered results: stop feeding beyond this
+MAX_LAG_S = 5.0       # per-path in-flight cap: rate * this many seconds
 
 
 class _Runner:
@@ -92,11 +94,33 @@ class _Runner:
         with self.lock:
             return (self.pending_bases + n_bases) / max(self.rate, 1.0)
 
+    def eligible(self, n_bases: int) -> bool:
+        """Bounded in-flight: never queue more than ~MAX_LAG_S of work at
+        the current measured rate (caps warmup over-assignment while the
+        rate prior is still wrong, and bounds reorder-buffer skew)."""
+        with self.lock:
+            cap = max(self.rate * MAX_LAG_S, 4.0 * n_bases)
+            return self.pending_bases + n_bases <= cap
+
+    IDLE_FLUSH_S = 0.5
+
     def _input_gen(self):
+        """Ends at close OR after IDLE_FLUSH_S with an empty queue: ending
+        the mapper stream forces it to flush partially-filled internal
+        batches (DeviceMapper buckets, HostMapper windows), so sequence
+        numbers held by an idle path deliver promptly instead of stalling
+        the global order until end-of-input. _run restarts a fresh stream
+        when work arrives again."""
         while True:
+            deadline = None
             with self.lock:
                 while not self.queue and not self.closed:
-                    self.cond.wait()
+                    if deadline is None:
+                        deadline = time.monotonic() + self.IDLE_FLUSH_S
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        return
+                    self.cond.wait(timeout=remaining)
                 if not self.queue:
                     return
                 _, name, codes = self.queue.popleft()
@@ -104,17 +128,25 @@ class _Runner:
 
     def _run(self):
         try:
-            for _, ln, raw in self.mapper.map_stream_raw(self._input_gen()):
+            while True:
                 with self.lock:
-                    seq = self.fifo.popleft()
-                    self.pending_bases -= ln
-                    self._span_bases += ln
-                    self.reads_done += 1
-                    dt = time.perf_counter() - self._span_start
-                    if dt > 0.05 and self._span_bases > 0:
-                        inst = self._span_bases / dt
-                        self.rate = 0.7 * self.rate + 0.3 * inst
-                self.sink.post(seq, raw)
+                    while not self.queue and not self.closed:
+                        self.cond.wait()
+                    if not self.queue and self.closed:
+                        return
+                for _, ln, raw in self.mapper.map_stream_raw(
+                    self._input_gen()
+                ):
+                    with self.lock:
+                        seq = self.fifo.popleft()
+                        self.pending_bases -= ln
+                        self._span_bases += ln
+                        self.reads_done += 1
+                        dt = time.perf_counter() - self._span_start
+                        if dt > 0.05 and self._span_bases > 0:
+                            inst = self._span_bases / dt
+                            self.rate = 0.7 * self.rate + 0.3 * inst
+                    self.sink.post(seq, raw)
         except BaseException as exc:
             self.error = exc
             self.sink.abort(exc)
@@ -193,8 +225,12 @@ class HybridMapper:
         self, named_codes: Iterable[Tuple[str, object]]
     ) -> Iterator[Tuple[str, int, Optional[tuple]]]:
         sink = _ReorderSink()
-        dev = _Runner("device", self.device, sink, prior_rate=40e6)
-        host = _Runner("host", self.host, sink, prior_rate=15e6)
+        # conservative priors: under-feeding a path during warmup is cheap
+        # (the other picks up the slack and the EMA corrects within a few
+        # blocks); over-feeding a path that turns out slow strands early
+        # sequence numbers behind MAX_LAG_S of backlog
+        dev = _Runner("device", self.device, sink, prior_rate=8e6)
+        host = _Runner("host", self.host, sink, prior_rate=8e6)
         dev.start()
         host.start()
 
@@ -209,15 +245,23 @@ class HybridMapper:
                 block.append((seq, name, codes))
                 seq += 1
                 if len(block) >= BLOCK_READS:
-                    self._dispatch(dev, host, block, block_idx)
+                    while True:
+                        target = self._pick(dev, host, block, block_idx)
+                        for raw in sink.pop_ready():
+                            name_o, ln_o = meta.pop(delivered)
+                            delivered += 1
+                            yield name_o, ln_o, raw
+                        if target is not None:
+                            target.submit(block)
+                            break
+                        # both paths (or the reorder buffer) are at their
+                        # in-flight caps: backpressure the input
+                        time.sleep(0.002)
                     block_idx += 1
                     block = []
-                    for raw in sink.pop_ready():
-                        name_o, ln_o = meta.pop(delivered)
-                        delivered += 1
-                        yield name_o, ln_o, raw
             if block:
-                self._dispatch(dev, host, block, block_idx)
+                (self._pick(dev, host, block, block_idx, force=True)
+                 or dev).submit(block)
             dev.close()
             host.close()
             for raw in sink.pop_blocking(seq):
@@ -232,15 +276,19 @@ class HybridMapper:
             dev.close()
             host.close()
 
-    def _dispatch(self, dev, host, block, block_idx) -> None:
+    def _pick(self, dev, host, block, block_idx, force: bool = False):
+        """Choose the path for this block, or None when everything is at
+        its in-flight cap (caller backpressures). Any choice is correct —
+        the policy only affects speed."""
         n_bases = sum(len(c) for _, _, c in block)
         if self.host_frac >= 0.0:
             go_host = (block_idx % 100) < round(self.host_frac * 100)
-        else:
-            go_host = host.projected_wait(n_bases) < dev.projected_wait(
-                n_bases
-            )
-        if go_host:
-            host.submit(block)
-        else:
-            dev.submit(block)
+            return host if go_host else dev
+        with dev.sink.lock:
+            buf_full = len(dev.sink.buf) > BUF_CAP
+        if buf_full and not force:
+            return None
+        cands = [p for p in (dev, host) if force or p.eligible(n_bases)]
+        if not cands:
+            return None
+        return min(cands, key=lambda p: p.projected_wait(n_bases))

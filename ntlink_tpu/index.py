@@ -151,8 +151,31 @@ class ContigIndex:
 
     @classmethod
     def from_tsv(cls, path: str) -> "ContigIndex":
-        """Build from an indexlr-style contig TSV (hash:pos:strand)."""
+        """Build from an indexlr-style contig TSV (hash:pos:strand).
+
+        Parses natively when the C build is available (GIL-released,
+        ~60 M entries in seconds vs minutes of per-token Python splits at
+        human scale); the Python fallback is semantics-identical."""
+        from .native import tsv_module
+
         idx = cls()
+        tm = tsv_module()
+        if tm is not None:
+            with open(path, "rb") as fh:
+                buf = fh.read()
+            for name, n, hb, pb, sb in tm.parse_sketch(buf):
+                cid = idx._contig_id(name)
+                idx._chunks.append(
+                    (
+                        np.frombuffer(hb, np.uint64),
+                        np.full(n, cid, dtype=np.int32),
+                        np.frombuffer(pb, np.int32),
+                        np.frombuffer(sb, np.uint8).astype(bool),
+                    )
+                )
+            idx._finalized = False
+            idx.finalize()
+            return idx
         with open(path) as fh:
             for line in fh:
                 parts = line.rstrip("\n").split("\t")

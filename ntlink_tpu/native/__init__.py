@@ -39,3 +39,8 @@ def liftover_module():
 def sketch_module():
     """The compiled ntlink_sketch module, or None if unavailable."""
     return _get("ntlink_sketch")
+
+
+def tsv_module():
+    """The compiled ntlink_tsv module, or None if unavailable."""
+    return _get("ntlink_tsv")

@@ -18,6 +18,7 @@ MODULES = {
     "ntlink_graph": ("graph.c", []),
     "ntlink_liftover": ("liftover.c", []),
     "ntlink_sketch": ("sketch.c", []),
+    "ntlink_tsv": ("tsvparse.c", []),
 }
 
 

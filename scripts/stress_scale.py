@@ -120,7 +120,10 @@ def device_mem(tag):
 
 
 tracing.enable()
-cfg = ScaffoldConfig(target="target.fa", reads=["reads.fa"], k=32, w=100, z=1000)
+cfg = ScaffoldConfig(
+    target="target.fa", reads=["reads.fa"], k=32, w=100, z=1000,
+    backend=os.environ.get("NTLINK_STRESS_BACKEND", "auto"),
+)
 t0 = time.time()
 final = run_scaffold(cfg, gap_fill=True)
 print(f"TOTAL scaffold+gap_fill: {time.time()-t0:.1f}s", flush=True)

@@ -104,6 +104,52 @@ def test_hybrid_propagates_worker_errors():
             pass
 
 
+def test_idle_path_flushes_partial_batches():
+    """A path that stops receiving work must flush its internal partial
+    batches within ~IDLE_FLUSH_S (stream restart), not hold its sequence
+    numbers until end-of-input."""
+    import time
+
+    from ntlink_tpu.hybrid_map import _ReorderSink, _Runner
+
+    class Batchy:
+        """Only emits results when its input stream ENDS (worst-case
+        internal batching, like a partially-filled device bucket)."""
+
+        def map_stream_raw(self, it):
+            held = [(n, len(c), None) for n, c in it]
+            yield from held
+
+    sink = _ReorderSink()
+    r = _Runner("batchy", Batchy(), sink, prior_rate=1e6)
+    r.start()
+    try:
+        block = [(i, f"r{i}", np.zeros(100, np.uint8)) for i in range(4)]
+        r.submit(block)
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            with sink.lock:
+                if len(sink.buf) == 4:
+                    break
+            time.sleep(0.05)
+        with sink.lock:
+            assert len(sink.buf) == 4, "idle flush never happened"
+        # a second wave after the restart must also work
+        r.submit([(i, f"s{i}", np.zeros(100, np.uint8))
+                  for i in range(4, 8)])
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            with sink.lock:
+                if len(sink.buf) == 8:
+                    break
+            time.sleep(0.05)
+        with sink.lock:
+            assert len(sink.buf) == 8
+    finally:
+        r.close()
+        r.join()
+
+
 def test_crashed_mapping_leaves_no_partial_checkpoint(tmp_path):
     """A mapping failure must leave neither verbose_mapping.tsv nor its
     .tmp behind — a truncated file would be silently trusted as a complete
