@@ -114,24 +114,31 @@ def test_two_process_jax_transport_matches_single(tmp_path):
     out, _ = proc.communicate(timeout=600)
     assert proc.returncode == 0, out[-3000:]
 
-    coord = f"127.0.0.1:{_free_port()}"
-    ranks = []
-    for pid in range(2):
-        d = tmp_path / f"jrank{pid}"
-        _setup(d)
-        ranks.append(
-            _run(
-                d,
-                {
-                    "NTLINK_COORDINATOR": coord,
-                    "NTLINK_NUM_PROCESSES": "2",
-                    "NTLINK_PROCESS_ID": str(pid),
-                },
+    # _free_port has an unavoidable TOCTOU window (the port is released
+    # before the coordinator rebinds it); under a loaded machine it can be
+    # stolen, so retry the whole 2-rank launch once on a fresh port
+    for attempt in range(2):
+        coord = f"127.0.0.1:{_free_port()}"
+        ranks = []
+        for pid in range(2):
+            d = tmp_path / f"jrank{pid}"
+            if d.exists():
+                shutil.rmtree(d)
+            _setup(d)
+            ranks.append(
+                _run(
+                    d,
+                    {
+                        "NTLINK_COORDINATOR": coord,
+                        "NTLINK_NUM_PROCESSES": "2",
+                        "NTLINK_PROCESS_ID": str(pid),
+                    },
+                )
             )
-        )
-    outs = [p.communicate(timeout=600)[0] for p in ranks]
-    for p, out in zip(ranks, outs):
-        assert p.returncode == 0, out[-3000:]
+        outs = [p.communicate(timeout=600)[0] for p in ranks]
+        if all(p.returncode == 0 for p in ranks):
+            break
+        assert attempt == 0, [o[-3000:] for o in outs]
 
     for artifact in ARTIFACTS:
         for pid in range(2):
