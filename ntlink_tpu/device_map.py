@@ -51,14 +51,17 @@ def _single_device_step():
 
     from .parallel.mesh import mapping_step_packed
 
-    @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
-    def jstep(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+    @functools.partial(
+        jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
+    )
+    def jstep(packed, lengths, t_rows, t_off,
               k, w, L_, mask, probes, anchors, pallas_flag, with_hashes,
-              nmask=None):
+              pack_gpos, nmask=None):
         return mapping_step_packed(
-            packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+            packed, lengths, t_rows,
             k, w, L_, mask, probes, anchors, use_pallas=pallas_flag,
             with_hashes=with_hashes, nmask=nmask,
+            t_off=t_off if pack_gpos else None,
         )
 
     return jstep
@@ -110,6 +113,10 @@ class DeviceMapper:
         # reads that bypassed the device (sub-k, > MAX_PAD, or slot
         # overflow) and re-mapped on the single-threaded exact host path
         self.host_fallbacks = 0
+        # actual bytes moved over the host<->device link (packed codes +
+        # masks + lengths up; meta + flat anchor payload down) — powers the
+        # honest wire-ceiling analysis in bench.py
+        self.wire_stats = {"h2d": 0, "d2h": 0}
 
     def _slots_for(self, L: int) -> int:
         """Minimizer slot budget for padded length L (density ~2/(w+1))."""
@@ -136,17 +143,21 @@ class DeviceMapper:
         else:
             from .ops.sketch_pallas import pallas_mode
 
+            import jax.numpy as jnp
+
             # fused Pallas sketch core on real TPU (single VMEM tile up to
             # L=16384, column-chunked beyond); XLA lowering elsewhere
             pmode = pallas_mode(L)
             jstep = _single_device_step()
             d = self.didx
+            pack = d.t_off is not None
+            t_off = d.t_off if pack else jnp.zeros(1, jnp.uint32)
             step = lambda packed, lengths, didx, nmask=None: jstep(
-                packed, lengths, d.t_hi, d.t_lo, d.t_cid, d.t_pos, d.t_strand,
+                packed, lengths, d.t_rows, t_off,
                 self.k, self.w, L, d.mask, d.max_probes, key[1],
                 (pmode if packed.shape[0] % 8 == 0 else False)
                 if nmask is None else False,
-                self.with_hashes, nmask,
+                self.with_hashes, pack, nmask,
             )
         self._steps[key] = step
         return step
@@ -311,6 +322,10 @@ class DeviceMapper:
             # thread never blocks on a tunnel RTT)
             t0 = time_mod.perf_counter() if timing_on else 0.0
             step = self._step_for(pad)
+            self.wire_stats["h2d"] += (
+                packed.nbytes + lengths.nbytes
+                + (nmask.nbytes if nmask is not None else 0)
+            )
             dev_packed = jnp.asarray(packed)
             dev_lengths = jnp.asarray(lengths)
             if timing_on:
@@ -327,7 +342,9 @@ class DeviceMapper:
                 t0 = time_mod.perf_counter()
             # adaptive capped-transfer protocol (shared with the sketch
             # stream): meta + anchor prefix start streaming now, async
-            sliced = start_flat_stream(out, self._flat_caps, pad)
+            sliced = start_flat_stream(
+                out, self._flat_caps, pad, stats=self.wire_stats
+            )
             if timing_on:
                 _t("slice_copyasync", t0)
                 t0 = time_mod.perf_counter()
@@ -347,13 +364,21 @@ class DeviceMapper:
             t0 = time_mod.perf_counter() if timing_on else 0.0
             offs, total, flat = finish_flat_stream(
                 out, sliced, count, B, int((lengths > 0).sum()),
-                self._flat_caps, pad,
+                self._flat_caps, pad, stats=self.wire_stats,
             )
             if timing_on:
                 _t("drain_flat_wait", t0)
+            pack = getattr(self.didx, "t_off", None) is not None
             if total:
                 rpos_all = flat[0] & 0x1FFFFFFF
                 sbits_all = (flat[0] >> 29) & 3
+                if pack:  # one gpos plane -> (cid, cpos), batch-level
+                    cid_all, cpos_all = self.didx.decode_gpos(
+                        flat[1, :total]
+                    )
+                else:
+                    cid_all, cpos_all = flat[1], flat[2]
+            hash_base = 2 if pack else 3
             for row, i in rows.items():
                 n = int(count[row])
                 if n_mins[row] > slots:  # slot overflow: redo exactly on host
@@ -363,15 +388,16 @@ class DeviceMapper:
                     results[i] = None
                     continue
                 o = int(offs[row])
-                if n_planes == 5:
-                    hi, lo = flat[3, o : o + n], flat[4, o : o + n]
+                if n_planes == hash_base + 2:
+                    hi = flat[hash_base, o : o + n]
+                    lo = flat[hash_base + 1, o : o + n]
                 else:
                     hi = lo = np.zeros(n, np.int32)
                 results[i] = (
                     n,
                     rpos_all[o : o + n],
-                    flat[1, o : o + n],
-                    flat[2, o : o + n],
+                    cid_all[o : o + n],
+                    cpos_all[o : o + n],
                     sbits_all[o : o + n],
                     hi,
                     lo,

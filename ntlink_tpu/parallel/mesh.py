@@ -40,19 +40,34 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
+#: slots >= entries / TABLE_LOAD (pow2-rounded). 0.25 keeps linear-probe
+#: clusters short: the static probe bound (hence the join's gather volume,
+#: its dominant cost) roughly halves vs load 0.5, for 2x the table bytes —
+#: ~4.3 GB at human scale (59 M minimizers), well inside one v5e's HBM.
+TABLE_LOAD = 0.25
+
+
 class DeviceIndex:
     """Replicated contig-minimizer hash table for on-device joins.
 
-    Open addressing, linear probing, load factor <= 0.5, slot-aligned
-    payloads (contig id / position / strand). `max_probes` is the longest
-    probe chain observed at build time (static loop bound on device).
+    Open addressing, linear probing, load factor <= TABLE_LOAD. The device
+    copy is ONE row-packed (size, 4) uint32 tensor [hash_hi, hash_lo,
+    cid_strand, pos] so each probe gathers one contiguous 16 B row instead
+    of 3 scattered 4 B words — random 4 B gathers waste most of an HBM
+    transaction, and the join's gather volume is the mapping step's
+    dominant cost (measured: 253 ms -> ~60 ms per 1024-read batch).
+    `cid_strand` = (cid + 1) << 1 | strand; 0 marks an empty slot.
+    `max_probes` is the longest probe chain observed at build time (static
+    gather width on device).
     """
 
     def __init__(self, hashes: np.ndarray, contig_ids: np.ndarray,
-                 positions: np.ndarray, strands: np.ndarray):
+                 positions: np.ndarray, strands: np.ndarray,
+                 load: float = TABLE_LOAD):
         n = int(hashes.shape[0])
+        self._build_gpos(contig_ids, positions, n)
         size = 1
-        while size < max(2 * n, 16):
+        while size < max(int(n / load), 16):
             size <<= 1
         mask = size - 1
         hi = (hashes >> np.uint64(32)).astype(np.uint32)
@@ -66,7 +81,7 @@ class DeviceIndex:
 
         # vectorized linear-probing insertion: per round, every pending
         # entry tries its slot; one claimant per slot wins, losers advance
-        # one slot and retry. Rounds ~ longest cluster (load <= 0.5).
+        # one slot and retry. Rounds ~ longest cluster.
         slots = (
             ((lo ^ hi) * np.uint32(_FIB)).astype(np.uint32) & np.uint32(mask)
         ).astype(np.int64)
@@ -97,11 +112,23 @@ class DeviceIndex:
         self.mask = mask
         # pad the static probe bound to a multiple of 4 for jit-cache stability
         self.max_probes = (max_probes + 3) & ~3
-        self.t_hi = jnp.asarray(t_hi)
-        self.t_lo = jnp.asarray(t_lo)
-        self.t_cid = jnp.asarray(t_cid)
-        self.t_pos = jnp.asarray(t_pos)
-        self.t_strand = jnp.asarray(t_strand)
+        self.t_rows = jnp.asarray(pack_table_rows(
+            t_hi, t_lo, t_cid, t_pos, t_strand
+        ))
+
+    def _build_gpos(self, contig_ids, positions, n) -> None:
+        self.host_offsets, self.pack_gpos, self.t_off = build_gpos_offsets(
+            contig_ids, positions, n
+        )
+
+    def decode_gpos(self, gplane: np.ndarray):
+        """Invert the on-device packing: int32 plane -> (cid, cpos)."""
+        gpos = gplane.view(np.uint32).astype(np.int64)
+        idx = np.searchsorted(self.host_offsets, gpos, side="right") - 1
+        return (
+            idx.astype(np.int32),
+            (gpos - self.host_offsets[idx]).astype(np.int32),
+        )
 
     @classmethod
     def from_contig_index(cls, index) -> "DeviceIndex":
@@ -112,29 +139,84 @@ class DeviceIndex:
         )
 
 
-def hash_table_join(t_hi, t_lo, t_cid, t_pos, t_strand, q_hi, q_lo,
-                    mask: int, max_probes: int):
-    """Probe the open-addressing table for each query (hi, lo) pair."""
-    slot = ((q_lo ^ q_hi) * jnp.uint32(_FIB)) & jnp.uint32(mask)
-    slot = slot.astype(jnp.int32)
-    found = jnp.zeros(q_hi.shape, jnp.bool_)
-    payload = jnp.zeros(q_hi.shape, jnp.int32)
-    alive = jnp.ones(q_hi.shape, jnp.bool_)
-
-    def body(_, carry):
-        slot, found, payload, alive = carry
-        cid = t_cid[slot]
-        hit = alive & (cid != -1) & (t_hi[slot] == q_hi) & (t_lo[slot] == q_lo)
-        payload = jnp.where(hit, slot, payload)
-        found = found | hit
-        alive = alive & ~hit & (cid != -1)
-        slot = (slot + 1) & mask
-        return slot, found, payload, alive
-
-    slot, found, payload, alive = jax.lax.fori_loop(
-        0, max_probes, body, (slot, found, payload, alive)
+def pack_table_rows(t_hi, t_lo, t_cid, t_pos, t_strand) -> np.ndarray:
+    """Stack the five build-time table planes into (size, 4) uint32 rows
+    [hash_hi, hash_lo, (cid+1)<<1 | strand, pos]; empty slots get row[2]=0."""
+    cs = np.where(
+        t_cid >= 0,
+        ((t_cid.astype(np.int64) + 1) << 1).astype(np.uint32)
+        | t_strand.astype(np.uint32),
+        np.uint32(0),
+    ).astype(np.uint32)
+    return np.stack(
+        [t_hi, t_lo, cs, t_pos.astype(np.uint32)], axis=1
     )
-    return found, t_cid[payload], t_pos[payload], t_strand[payload]
+
+
+def build_gpos_offsets(contig_ids: np.ndarray, positions: np.ndarray, n: int):
+    """Global-position packing metadata (D2H payload compression).
+
+    Anchors leave the chip as ONE uint32 plane `gpos = off[cid] + cpos`
+    instead of two int32 planes (cid, cpos) — a 33% cut of the dominant
+    D2H payload. `off` assigns each contig a span covering every indexed
+    position (max pos + 1 suffices: anchors only ever carry positions that
+    exist in the table). The host inverts with one vectorized searchsorted
+    (DeviceIndex.decode_gpos). Packing is disabled (pack=False, 3-plane
+    layout) when the total span exceeds uint32 — beyond ~4.3 Gbase of
+    indexed contig span.
+
+    Returns (host_offsets int64 (n_contigs+1,), pack: bool, t_off: device
+    uint32 (n_contigs,) or None).
+    """
+    n_ctg = int(contig_ids.max()) + 1 if n else 1
+    spans = np.zeros(n_ctg, np.int64)
+    if n:
+        np.maximum.at(spans, contig_ids, positions.astype(np.int64) + 1)
+    offsets = np.zeros(n_ctg + 1, np.int64)
+    np.cumsum(spans, out=offsets[1:])
+    pack = bool(offsets[-1] <= 0xFFFFFFFF)
+    t_off = jnp.asarray(offsets[:-1].astype(np.uint32)) if pack else None
+    return offsets, pack, t_off
+
+
+def hash_table_join(t_rows, q_hi, q_lo, mask: int, max_probes: int):
+    """Probe the row-packed open-addressing table for each (hi, lo) query.
+
+    All `max_probes` candidate slots are gathered AT ONCE (one gather of
+    contiguous 16 B rows) and reduced, instead of a fori_loop of probe
+    rounds: the sequential loop makes every round's gathers data-depend on
+    the previous one, and 3 scattered 4 B gathers per probe waste most of
+    each HBM transaction — together measured as the dominant cost of the
+    whole mapping step (~250 of 266 ms per 1024-read batch in the loop
+    form).
+
+    Linear-probe semantics are preserved exactly: a hit at probe p counts
+    iff slots 0..p are all occupied (probing stops at the first empty
+    slot), and the first such hit wins.
+    """
+    q_shape = q_hi.shape
+    slot0 = (((q_lo ^ q_hi) * jnp.uint32(_FIB)) & jnp.uint32(mask)).astype(
+        jnp.int32
+    )
+    probes = jnp.arange(max_probes, dtype=jnp.int32)
+    slots = (slot0[..., None] + probes) & mask  # (..., P)
+    rows = t_rows[slots]                        # (..., P, 4) one row gather
+    occupied = rows[..., 2] != 0
+    match = (
+        occupied
+        & (rows[..., 0] == q_hi[..., None])
+        & (rows[..., 1] == q_lo[..., None])
+    )
+    # valid iff no empty slot at or before this probe (occupied cancels the
+    # inclusive cumsum term, so a hit's own slot never disqualifies it)
+    before_empty = jnp.cumsum((~occupied).astype(jnp.int32), axis=-1) == 0
+    hit = match & before_empty
+    found = hit.any(axis=-1)
+    first = jnp.argmax(hit, axis=-1)[..., None]
+    cs = jnp.take_along_axis(rows[..., 2], first, axis=-1).reshape(q_shape)
+    pos = jnp.take_along_axis(rows[..., 3], first, axis=-1).reshape(q_shape)
+    cid = (cs >> 1).astype(jnp.int32) - 1  # -1 when not found (cs == 0)
+    return found, cid, pos.astype(jnp.int32), (cs & 1).astype(jnp.bool_)
 
 
 def unpack_codes(packed: jnp.ndarray, L: int) -> jnp.ndarray:
@@ -162,20 +244,22 @@ def unpack_bits(packed: jnp.ndarray, L: int) -> jnp.ndarray:
     return expanded.reshape(B, L).astype(jnp.bool_)
 
 
-def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+def mapping_step_packed(packed, lengths, t_rows,
                         k: int, w: int, L: int, mask: int, max_probes: int,
                         max_anchors: int, use_pallas: bool = False,
-                        with_hashes: bool = True, nmask=None):
+                        with_hashes: bool = True, nmask=None, t_off=None):
     """Fused mapping step: unpack -> sketch -> compact minimizers ->
     hash-join -> global anchor compaction. Outputs are O(anchors), not
     O(bases): `meta` = per-read [counts | n_minimizers] (2B,) and `flat` =
     (planes, B*S) with all matched anchors packed front in read order —
-    plane 0 read positions (strand bits in bits 29/30), plane 1 contig ids,
-    plane 2 contig positions, planes 3/4 hash halves only when
-    `with_hashes` (repeat filter). `use_pallas` selects the fused Pallas
-    sketch core (TPU only). `nmask` ((B, L//8) bit-packed uint8) batches
-    N-containing reads through the compacted-window kernel (reference N
-    semantics) instead of the per-read host fallback; requires
+    plane 0 read positions (strand bits in bits 29/30), then EITHER one
+    packed global-position plane `off[cid] + cpos` (when `t_off`, the
+    per-contig uint32 offset table, is given — DeviceIndex.pack_gpos) OR
+    two planes (contig ids, contig positions); hash-half planes follow only
+    when `with_hashes` (repeat filter). `use_pallas` selects the fused
+    Pallas sketch core (TPU only). `nmask` ((B, L//8) bit-packed uint8)
+    batches N-containing reads through the compacted-window kernel
+    (reference N semantics) instead of the per-read host fallback; requires
     `use_pallas=False`.
     """
     codes = unpack_codes(packed, L)
@@ -220,7 +304,7 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
     m_fwd = jnp.take_along_axis(fwd, jnp.maximum(m_pos, 0), axis=1)
 
     found, cid, cpos, cstrand = hash_table_join(
-        t_hi, t_lo, t_cid, t_pos, t_strand, q_hi, q_lo, mask, max_probes
+        t_rows, q_hi, q_lo, mask, max_probes
     )
     found = found & sel_ok
     n_minimizers = emit.sum(axis=1).astype(jnp.int32)
@@ -240,10 +324,15 @@ def mapping_step_packed(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
         | (cstrand.astype(jnp.int32) << 29)
         | (m_fwd.astype(jnp.int32) << 30)
     )
-    planes = [takef(rpos_packed), takef(cid), takef(cpos)]
+    if t_off is not None:
+        gpos = t_off[jnp.maximum(cid, 0)] + cpos.astype(jnp.uint32)
+        gplane = jax.lax.bitcast_convert_type(gpos, jnp.int32)
+        planes = [takef(rpos_packed), takef(gplane)]
+    else:
+        planes = [takef(rpos_packed), takef(cid), takef(cpos)]
     if with_hashes:
         planes += [takef(q_hi).astype(jnp.int32), takef(q_lo).astype(jnp.int32)]
-    flat = jnp.stack(planes, axis=0)  # (3|5, B*S) int32
+    flat = jnp.stack(planes, axis=0)  # (2..5, B*S) int32
     return {
         # tiny per-row metadata in one tensor: async-prefetched at dispatch
         "meta": jnp.concatenate([count, n_minimizers]),
@@ -406,47 +495,50 @@ def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
 
     @functools.partial(
         jax.jit,
-        static_argnums=(7, 8, 9, 10, 11, 12, 13),
+        static_argnums=(4, 5, 6, 7, 8, 9, 10, 11),
         in_shardings=(
-            data_sharding, NamedSharding(mesh, P("data")),
-            repl, repl, repl, repl, repl,
+            data_sharding, NamedSharding(mesh, P("data")), repl, repl,
         ),
     )
-    def step(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
-             k_, w_, L_, mask_, probes_, anchors_, with_hashes_):
+    def step(packed, lengths, t_rows, t_off,
+             k_, w_, L_, mask_, probes_, anchors_, with_hashes_, pack_gpos_):
         return mapping_step_packed(
-            packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+            packed, lengths, t_rows,
             k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
+            t_off=t_off if pack_gpos_ else None,
         )
 
     @functools.partial(
         jax.jit,
-        static_argnums=(8, 9, 10, 11, 12, 13, 14),
+        static_argnums=(5, 6, 7, 8, 9, 10, 11, 12),
         in_shardings=(
-            data_sharding, NamedSharding(mesh, P("data")),
-            repl, repl, repl, repl, repl, data_sharding,
+            data_sharding, NamedSharding(mesh, P("data")), repl, repl,
+            data_sharding,
         ),
     )
-    def step_n(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand, nmask,
-               k_, w_, L_, mask_, probes_, anchors_, with_hashes_):
+    def step_n(packed, lengths, t_rows, t_off, nmask,
+               k_, w_, L_, mask_, probes_, anchors_, with_hashes_,
+               pack_gpos_):
         # N batch: rows shard like the code rows; compacted-window kernel
         return mapping_step_packed(
-            packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand,
+            packed, lengths, t_rows,
             k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
-            nmask=nmask,
+            nmask=nmask, t_off=t_off if pack_gpos_ else None,
         )
 
     def run(packed, lengths, didx, nmask=None):
+        t_off = getattr(didx, "t_off", None)
+        pack = t_off is not None
+        if not pack:  # dummy replicated operand; unused under pack_gpos_=False
+            t_off = jnp.zeros(1, jnp.uint32)
         if nmask is None:
             return step(
-                packed, lengths, didx.t_hi, didx.t_lo, didx.t_cid,
-                didx.t_pos, didx.t_strand, k, w, L, mask, max_probes,
-                max_anchors, with_hashes,
+                packed, lengths, didx.t_rows, t_off, k, w, L, mask,
+                max_probes, max_anchors, with_hashes, pack,
             )
         return step_n(
-            packed, lengths, didx.t_hi, didx.t_lo, didx.t_cid, didx.t_pos,
-            didx.t_strand, nmask, k, w, L, mask, max_probes, max_anchors,
-            with_hashes,
+            packed, lengths, didx.t_rows, t_off, nmask, k, w, L, mask,
+            max_probes, max_anchors, with_hashes, pack,
         )
 
     return run

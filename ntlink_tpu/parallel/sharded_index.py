@@ -38,7 +38,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
     _CHECK_KW = {"check_rep": False}
 
-from .mesh import _FIB, unpack_codes
+from .mesh import _FIB, build_gpos_offsets, unpack_codes
 from ..ops.sketch_jax import finish_hash, sketch_batch_kernel
 
 
@@ -50,6 +50,9 @@ class ShardedDeviceIndex:
         assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of 2"
         self.n_shards = n_shards
         n = int(hashes.shape[0])
+        self.host_offsets, self.pack_gpos, self.t_off = build_gpos_offsets(
+            contig_ids, positions, n
+        )
         hi = (hashes >> np.uint64(32)).astype(np.uint32)
         lo = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         slot_hash = ((lo ^ hi) * np.uint32(_FIB)).astype(np.uint32)
@@ -97,12 +100,22 @@ class ShardedDeviceIndex:
             pending = pending[~won]
             local[pending] = (local[pending] + 1) & self.mask
         self.max_probes = (max(rounds, 1) + 3) & ~3
-        shape = (n_shards, size)
-        self.t_hi = t_hi.reshape(shape)
-        self.t_lo = t_lo.reshape(shape)
-        self.t_cid = t_cid.reshape(shape)
-        self.t_pos = t_pos.reshape(shape)
-        self.t_strand = t_strand.reshape(shape)
+        from .mesh import pack_table_rows
+
+        # row-packed like the replicated table (mesh.DeviceIndex): one
+        # contiguous 16 B gather per probe
+        self.t_rows = pack_table_rows(
+            t_hi, t_lo, t_cid, t_pos, t_strand
+        ).reshape(n_shards, size, 4)
+
+    def decode_gpos(self, gplane: np.ndarray):
+        """Invert the on-device gpos packing: int32 plane -> (cid, cpos)."""
+        gpos = gplane.view(np.uint32).astype(np.int64)
+        idx = np.searchsorted(self.host_offsets, gpos, side="right") - 1
+        return (
+            idx.astype(np.int32),
+            (gpos - self.host_offsets[idx]).astype(np.int32),
+        )
 
     @classmethod
     def from_contig_index(cls, index, n_shards: int) -> "ShardedDeviceIndex":
@@ -148,8 +161,13 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
     max_probes = sidx.max_probes
     shard_shift = 32 - int(np.log2(n_shards)) if n_shards > 1 else 32
 
-    def local_probe(t_hi, t_lo, t_cid, t_pos, t_strand, q_hi, q_lo):
-        """Probe this rank's sub-table; miss -> found False."""
+    def local_probe(t_rows, q_hi, q_lo):
+        """Probe this rank's sub-table; miss -> found False.
+
+        Same one-shot row-gather probing as mesh.hash_table_join (all
+        max_probes 16 B rows gathered at once — the fori_loop form
+        serializes the gathers), gated by shard ownership."""
+        q_shape = q_hi.shape
         slot_hash = (q_lo ^ q_hi) * jnp.uint32(_FIB)
         my_shard = jax.lax.axis_index("idx").astype(jnp.uint32)
         want_shard = (
@@ -158,30 +176,30 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
             else jnp.zeros_like(slot_hash)
         )
         mine = want_shard == my_shard
-        slot = (slot_hash & jnp.uint32(mask)).astype(jnp.int32)
-        found = jnp.zeros(q_hi.shape, jnp.bool_)
-        payload = jnp.zeros(q_hi.shape, jnp.int32)
-        alive = mine
-
-        def body(_, carry):
-            slot, found, payload, alive = carry
-            cid = t_cid[slot]
-            hit = alive & (cid != -1) & (t_hi[slot] == q_hi) & (t_lo[slot] == q_lo)
-            payload = jnp.where(hit, slot, payload)
-            found = found | hit
-            alive = alive & ~hit & (cid != -1)
-            slot = (slot + 1) & mask
-            return slot, found, payload, alive
-
-        _, found, payload, _ = jax.lax.fori_loop(
-            0, max_probes, body, (slot, found, payload, alive)
+        slot0 = (slot_hash & jnp.uint32(mask)).astype(jnp.int32)
+        probes = jnp.arange(max_probes, dtype=jnp.int32)
+        slots = (slot0[..., None] + probes) & mask
+        rows = t_rows[slots]
+        occupied = rows[..., 2] != 0
+        match = (
+            occupied
+            & (rows[..., 0] == q_hi[..., None])
+            & (rows[..., 1] == q_lo[..., None])
         )
-        return found, t_cid[payload], t_pos[payload], t_strand[payload]
+        before_empty = jnp.cumsum((~occupied).astype(jnp.int32), axis=-1) == 0
+        hit = match & before_empty & mine[..., None]
+        found = hit.any(axis=-1)
+        first = jnp.argmax(hit, axis=-1)[..., None]
+        cs = jnp.take_along_axis(rows[..., 2], first, axis=-1).reshape(q_shape)
+        pos = jnp.take_along_axis(rows[..., 3], first, axis=-1).reshape(q_shape)
+        cs = jnp.where(found, cs, 0)
+        pos = jnp.where(found, pos, 0)
+        cid = jnp.maximum((cs >> 1).astype(jnp.int32) - 1, 0)
+        return found, cid, pos.astype(jnp.int32), (cs & 1).astype(jnp.bool_)
 
-    def step(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand, *nm):
+    def step(codes, lengths, t_rows, *nm):
         # per-rank table block has a leading shard dim of 1
-        t_hi, t_lo = t_hi[0], t_lo[0]
-        t_cid, t_pos, t_strand = t_cid[0], t_pos[0], t_strand[0]
+        t_rows = t_rows[0]
         B_loc, L_loc = codes.shape
         from ..ops.sketch_pallas import pallas_mode
 
@@ -223,9 +241,7 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
         q_hi, q_lo = finish_hash(q_hi, q_lo, k)
         m_fwd = jnp.take_along_axis(fwd, jnp.maximum(m_pos, 0), axis=1)
 
-        found, cid, cpos, cstrand = local_probe(
-            t_hi, t_lo, t_cid, t_pos, t_strand, q_hi, q_lo
-        )
+        found, cid, cpos, cstrand = local_probe(t_rows, q_hi, q_lo)
         # each query lives in exactly one shard: psum yields the unique hit
         found = found & sel_ok
         found_any = jax.lax.psum(found.astype(jnp.int32), "idx") > 0
@@ -245,11 +261,8 @@ def _sharded_join(mesh: Mesh, sidx: ShardedDeviceIndex, k: int, w: int,
                 q_hi, q_lo)
 
     data_spec = P("data", None)
-    table_spec = P("idx", None)
-    in_specs = (
-        data_spec, P("data"),
-        table_spec, table_spec, table_spec, table_spec, table_spec,
-    )
+    table_spec = P("idx", None, None)
+    in_specs = (data_spec, P("data"), table_spec)
     if with_nmask:
         in_specs = in_specs + (data_spec,)
     return shard_map(
@@ -274,11 +287,17 @@ def make_sharded_index_mapping_step(mesh: Mesh, sidx: ShardedDeviceIndex,
     adds the matched minimizer hash planes (repeat-filter readback)."""
     join = _sharded_join(mesh, sidx, k, w, max_anchors)
     join_n = _sharded_join(mesh, sidx, k, w, max_anchors, with_nmask=True)
+    t_off = sidx.t_off
 
     def _finish(count, n_mins, rpos_packed, cid, cpos, found, q_hi, q_lo):
         order_flat = jnp.argsort(~found.reshape(-1), stable=True)
         takef = lambda a: a.reshape(-1)[order_flat]
-        planes = [takef(rpos_packed), takef(cid), takef(cpos)]
+        if t_off is not None:
+            gpos = t_off[jnp.maximum(cid, 0)] + cpos.astype(jnp.uint32)
+            gplane = jax.lax.bitcast_convert_type(gpos, jnp.int32)
+            planes = [takef(rpos_packed), takef(gplane)]
+        else:
+            planes = [takef(rpos_packed), takef(cid), takef(cpos)]
         if with_hashes:
             planes += [
                 takef(q_hi).astype(jnp.int32),
@@ -292,27 +311,21 @@ def make_sharded_index_mapping_step(mesh: Mesh, sidx: ShardedDeviceIndex,
         }
 
     @jax.jit
-    def full_step(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand):
+    def full_step(packed, lengths, t_rows):
         codes = unpack_codes(packed, L)
-        return _finish(*join(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand))
+        return _finish(*join(codes, lengths, t_rows))
 
     @jax.jit
-    def full_step_n(packed, lengths, t_hi, t_lo, t_cid, t_pos, t_strand, nmask):
+    def full_step_n(packed, lengths, t_rows, nmask):
         codes = unpack_codes(packed, L)
-        return _finish(
-            *join_n(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand, nmask)
-        )
+        return _finish(*join_n(codes, lengths, t_rows, nmask))
 
-    t_args = tuple(
-        jnp.asarray(a)
-        for a in (sidx.t_hi, sidx.t_lo, sidx.t_cid, sidx.t_pos,
-                  sidx.t_strand.astype(np.bool_))
-    )
+    t_rows = jnp.asarray(sidx.t_rows)
 
     def run(packed, lengths, didx=None, nmask=None):
         if nmask is None:
-            return full_step(packed, lengths, *t_args)
-        return full_step_n(packed, lengths, *t_args, nmask)
+            return full_step(packed, lengths, t_rows)
+        return full_step_n(packed, lengths, t_rows, nmask)
 
     return run
 
@@ -324,9 +337,9 @@ def make_sharded_index_join(mesh: Mesh, sidx: ShardedDeviceIndex,
     join = _sharded_join(mesh, sidx, k, w, max_anchors)
 
     @jax.jit
-    def step(codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand):
+    def step(codes, lengths, t_rows):
         count, _, rpos_packed, cid, cpos, found, _, _ = join(
-            codes, lengths, t_hi, t_lo, t_cid, t_pos, t_strand
+            codes, lengths, t_rows
         )
         order = jnp.argsort(~found, axis=1, stable=True)
         take = lambda a: jnp.take_along_axis(a, order, axis=1)
@@ -344,9 +357,5 @@ def make_sharded_index_join(mesh: Mesh, sidx: ShardedDeviceIndex,
         )
         return count, anchors
 
-    t_args = tuple(
-        jnp.asarray(a)
-        for a in (sidx.t_hi, sidx.t_lo, sidx.t_cid, sidx.t_pos,
-                  sidx.t_strand.astype(np.bool_))
-    )
-    return lambda codes, lengths: step(codes, lengths, *t_args)
+    t_rows = jnp.asarray(sidx.t_rows)
+    return lambda codes, lengths: step(codes, lengths, t_rows)

@@ -123,7 +123,24 @@ def next_pow2(n: int) -> int:
     return p
 
 
-def start_flat_stream(out, caps: dict, key):
+def next_q4(n: int) -> int:
+    """Smallest m << e >= n with m in {4..7}: quarter-pow2 quantization.
+
+    Transfer-cap widths use this instead of next_pow2 — at most 4 distinct
+    widths per octave (executable-cache still bounded) but the worst-case
+    overshoot drops from 2.0x to 1.25x, which is D2H bytes saved on every
+    batch of the run."""
+    n = max(1, n)
+    if n <= 4:
+        return n
+    e = n.bit_length() - 3
+    for m in (4, 5, 6, 7):
+        if (m << e) >= n:
+            return m << e
+    return 8 << e
+
+
+def start_flat_stream(out, caps: dict, key, stats: dict = None):
     """Dispatch-side half of the adaptive capped-transfer protocol shared by
     the mapping and sketch streams.
 
@@ -137,6 +154,8 @@ def start_flat_stream(out, caps: dict, key):
     width = int(out["flat"].shape[1])
     cap = min(width, caps.get(key, width // 2))
     sliced = out["flat"][:, :cap]
+    if stats is not None:  # bytes that WILL move (copies just started)
+        stats["d2h"] = stats.get("d2h", 0) + out["meta"].nbytes + sliced.nbytes
     try:
         out["meta"].copy_to_host_async()
         sliced.copy_to_host_async()
@@ -146,15 +165,15 @@ def start_flat_stream(out, caps: dict, key):
 
 
 def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
-                       caps: dict, key):
+                       caps: dict, key, stats: dict = None):
     """Drain-side half of the capped-transfer protocol.
 
     Computes per-row offsets from `count`, adapts the next dispatch's cap
-    (1.5x headroom over this batch's volume scaled to a full batch — warmup
+    (1.3x headroom over this batch's volume scaled to a full batch — warmup
     batches are mostly padding; undershoot costs one corrective round trip,
-    and pow2 widths cluster tightly so totals rarely cross the cap), and
-    fetches the flat payload — from the already-streaming prefix when the
-    cap held, else via one corrective round trip.
+    and quarter-pow2 widths cluster tightly so totals rarely cross the
+    cap), and fetches the flat payload — from the already-streaming prefix
+    when the cap held, else via one corrective round trip.
 
     Returns (offs, total, flat) with flat=None when the batch is empty.
     """
@@ -165,14 +184,16 @@ def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
     scaled = total * B // max(1, n_filled)
     caps[key] = max(
         caps.get(key, 0),
-        min(width, next_pow2(max(3 * scaled // 2, 4096))),
+        min(width, next_q4(max(13 * scaled // 10, 4096))),
     )
     flat = None
     if total:
         if total <= int(sliced.shape[1]):
             flat = np.asarray(sliced)  # already streaming
         else:  # cap undershot this batch: one corrective round trip
-            flat = np.asarray(out["flat"][:, : min(width, next_pow2(total))])
+            flat = np.asarray(out["flat"][:, : min(width, next_q4(total))])
+            if stats is not None:
+                stats["d2h"] = stats.get("d2h", 0) + flat.nbytes
     return offs, total, flat
 
 

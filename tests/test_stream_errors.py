@@ -75,6 +75,7 @@ def test_drainer_error_propagates(small_index, monkeypatch):
         def __init__(self, inner):
             self._inner = inner
             self.shape = inner.shape
+            self.nbytes = inner.nbytes  # wire-byte accounting reads this
 
         def copy_to_host_async(self):
             pass
