@@ -362,9 +362,17 @@ def run_n_sweep(
         for n in range(n_min, n_max + 1)
     ]
     if threads > 1 and len(jobs) > 1 and graph.n_edges() >= 512:
+        import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
 
-        with ProcessPoolExecutor(max_workers=min(threads, len(jobs))) as ex:
+        # spawn, not fork: the parent process usually has JAX's thread pools
+        # live by this stage, and forking a multithreaded process can
+        # deadlock the child (os.fork RuntimeWarning under JAX). Spawned
+        # workers only import this module (no JAX), so startup stays cheap.
+        with ProcessPoolExecutor(
+            max_workers=min(threads, len(jobs)),
+            mp_context=multiprocessing.get_context("spawn"),
+        ) as ex:
             rendered = list(ex.map(_sweep_one, jobs))
     else:
         rendered = [_sweep_one(job) for job in jobs]

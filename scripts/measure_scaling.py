@@ -23,7 +23,7 @@ B. Multi-process DirTransport (1/2/4 ranks on this 4-core host): a FIXED
    bottleneck — the measured efficiency here is dominated by compute
    partitioning, exactly as it would be on pod hardware.
 
-Writes SCALING_r03.json at the repo root.
+Writes SCALING_r04.json at the repo root.
 
 Usage: python scripts/measure_scaling.py [out.json]
 """
@@ -39,33 +39,21 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 K, W, Z = 32, 100, 1000
-BASES = np.array(list("ACGT"))
 
 
-def make_dataset(n_contigs=2, contig_len=1_000_000, n_reads=6000,
+def make_dataset(n_contigs=8, contig_len=250_000, n_reads=6000,
                  read_len=12_000, seed=42):
+    """Junction-bearing workload (bench.make_dataset): reads are drawn from
+    a genome whose contigs abut across short unassembled gaps, so the pair
+    tally — and hence the all-gather payload this harness measures — is
+    non-trivial under load."""
+    import bench
+
     rng = np.random.default_rng(seed)
-    contigs = {
-        f"ctg{i}": "".join(BASES[rng.integers(0, 4, contig_len)])
-        for i in range(n_contigs)
-    }
-    names = list(contigs)
-    reads = []
-    comp = str.maketrans("ACGT", "TGCA")
-    for r in range(n_reads):
-        ctg = names[int(rng.integers(0, n_contigs))]
-        start = int(rng.integers(0, contig_len - read_len))
-        seq = contigs[ctg][start : start + read_len]
-        arr = np.frombuffer(seq.encode(), dtype=np.uint8).copy()
-        pos = rng.integers(0, read_len, read_len // 20)
-        arr[pos] = BASES[rng.integers(0, 4, read_len // 20)].astype("S1").view(
-            np.uint8
-        )
-        seq = arr.tobytes().decode()
-        if rng.random() < 0.5:
-            seq = seq.translate(comp)[::-1]
-        reads.append((f"read{r}", seq))
-    return contigs, reads
+    return bench.make_dataset(
+        rng, n_contigs=n_contigs, contig_len=contig_len, n_reads=n_reads,
+        read_len=read_len,
+    )
 
 
 VMESH_DRIVER = r"""
@@ -250,7 +238,7 @@ def leg_b(tmp):
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "SCALING_r03.json"
+        REPO, "SCALING_r04.json"
     )
     import tempfile
 

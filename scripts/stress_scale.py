@@ -100,6 +100,11 @@ if not os.path.exists("target.fa"):
         flush=True,
     )
 
+if os.environ.get("NTLINK_STRESS_GEN_ONLY"):
+    # dataset staging only (the pipeline run needs the TPU; generation is
+    # CPU-only and can overlap other device work)
+    sys.exit(0)
+
 from ntlink_tpu import tracing
 from ntlink_tpu.config import ScaffoldConfig
 from ntlink_tpu.pipeline import run_scaffold
