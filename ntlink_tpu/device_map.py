@@ -283,12 +283,24 @@ class DeviceMapper:
 
         def flush_bucket(key: tuple, idxs: List[int]) -> None:
             pad, has_n = key
-            # fixed batch height per bucket: exactly one compile per bucket
             B = max(
                 self.n_devices,
                 _next_pow2(max(1, self.batch_bases // pad)),
             )
             assert len(idxs) <= B
+            # partial flushes (stream end, budget flush) step the batch
+            # height down by powers of two instead of padding to the full
+            # height: a 46-read tail in a 1024-row bucket otherwise ships
+            # 978 rows of zeros over the wire. <= log2(B) extra compiles
+            # per bucket, cached persistently. Heights stay multiples of 8
+            # (Pallas row tiling) and of the device count (data sharding).
+            dev_q = max(8, self.n_devices)
+            while (
+                B > dev_q
+                and B // 2 >= len(idxs)
+                and (B // 2) % dev_q == 0
+            ):
+                B //= 2
             row_codes = [encoded.pop(i) for i in idxs]
             lengths = np.zeros(B, dtype=np.int32)
             lengths[: len(idxs)] = [len(c) for c in row_codes]

@@ -40,7 +40,10 @@ import time
 from collections import deque
 from typing import Iterable, Iterator, Optional, Tuple
 
-BLOCK_READS = 64
+BLOCK_READS = 1024    # assignment quantum: one full device bucket at the
+                      # default batch_bases/pad, so device-routed blocks map
+                      # as full-height batches instead of idle-flush dribbles
+BLOCK_BASES = 16_000_000  # bases cap on a block (ultra-long-read streams)
 SKEW_WARN = 100_000   # undelivered-result warning threshold
 BUF_CAP = 200_000     # undelivered results: stop feeding beyond this
 MAX_LAG_S = 5.0       # per-path in-flight cap: rate * this many seconds
@@ -94,6 +97,10 @@ class _Runner:
         with self.lock:
             return (self.pending_bases + n_bases) / max(self.rate, 1.0)
 
+    def idle(self) -> bool:
+        with self.lock:
+            return self.pending_bases == 0
+
     def eligible(self, n_bases: int) -> bool:
         """Bounded in-flight: never queue more than ~MAX_LAG_S of work at
         the current measured rate (caps warmup over-assignment while the
@@ -103,24 +110,38 @@ class _Runner:
             return self.pending_bases + n_bases <= cap
 
     IDLE_FLUSH_S = 0.5
+    BLOCKING_POLL_S = 0.02
+
+    def _blocking_delivery(self) -> bool:
+        """True when this path's earliest undelivered sequence number is
+        the one the whole stream is waiting on (caller must hold lock)."""
+        return bool(self.fifo) and self.fifo[0] == self.sink.next
 
     def _input_gen(self):
-        """Ends at close OR after IDLE_FLUSH_S with an empty queue: ending
-        the mapper stream forces it to flush partially-filled internal
-        batches (DeviceMapper buckets, HostMapper windows), so sequence
-        numbers held by an idle path deliver promptly instead of stalling
-        the global order until end-of-input. _run restarts a fresh stream
-        when work arrives again."""
+        """Ends at close, OR after IDLE_FLUSH_S with an empty queue, OR —
+        the fast path — as soon as an empty-queued path is gating global
+        delivery (its earliest held sequence number is the stream's next):
+        ending the mapper stream forces it to flush partially-filled
+        internal batches (DeviceMapper buckets, HostMapper windows), so
+        sequence numbers held by a momentarily idle path deliver promptly
+        instead of stalling the merged order — without this, the hybrid
+        stream advances in IDLE_FLUSH_S quanta whenever the device holds a
+        part-filled bucket. _run restarts a fresh stream when work arrives
+        again."""
         while True:
             deadline = None
             with self.lock:
                 while not self.queue and not self.closed:
                     if deadline is None:
                         deadline = time.monotonic() + self.IDLE_FLUSH_S
+                    if self._blocking_delivery():
+                        return
                     remaining = deadline - time.monotonic()
                     if remaining <= 0:
                         return
-                    self.cond.wait(timeout=remaining)
+                    self.cond.wait(
+                        timeout=min(remaining, self.BLOCKING_POLL_S)
+                    )
                 if not self.queue:
                     return
                 _, name, codes = self.queue.popleft()
@@ -216,6 +237,7 @@ class HybridMapper:
         self.device = device_mapper
         self.host = host_mapper
         self.host_frac = host_frac  # < 0: adaptive
+        self._frac_carry = 0.0
         self.contig_names = device_mapper.contig_names
         self._contig_order = device_mapper._contig_order
         self.host_reads = 0
@@ -238,13 +260,15 @@ class HybridMapper:
         seq = 0
         delivered = 0
         block = []
+        block_bases = 0
         block_idx = 0
         try:
             for name, codes in named_codes:
                 meta[seq] = (name, len(codes))
                 block.append((seq, name, codes))
+                block_bases += len(codes)
                 seq += 1
-                if len(block) >= BLOCK_READS:
+                if len(block) >= BLOCK_READS or block_bases >= BLOCK_BASES:
                     while True:
                         target = self._pick(dev, host, block, block_idx)
                         for raw in sink.pop_ready():
@@ -259,6 +283,7 @@ class HybridMapper:
                         time.sleep(0.002)
                     block_idx += 1
                     block = []
+                    block_bases = 0
             if block:
                 (self._pick(dev, host, block, block_idx, force=True)
                  or dev).submit(block)
@@ -282,8 +307,14 @@ class HybridMapper:
         the policy only affects speed."""
         n_bases = sum(len(c) for _, _, c in block)
         if self.host_frac >= 0.0:
-            go_host = (block_idx % 100) < round(self.host_frac * 100)
-            return host if go_host else dev
+            # fractional accumulator: exact proportions at ANY block count
+            # (a modulo-cycle scheme sends the whole stream to one path
+            # when there are fewer blocks than the cycle length)
+            self._frac_carry += self.host_frac
+            if self._frac_carry >= 1.0 - 1e-9:
+                self._frac_carry -= 1.0
+                return host
+            return dev
         with dev.sink.lock:
             buf_full = len(dev.sink.buf) > BUF_CAP
         if buf_full and not force:
@@ -291,4 +322,12 @@ class HybridMapper:
         cands = [p for p in (dev, host) if force or p.eligible(n_bases)]
         if not cands:
             return None
+        # an idle path is wasted capacity: feed it before queue-balancing.
+        # Without this the faster path's shorter projected wait wins nearly
+        # every block, the slower path dribbles on tiny flushes, and its
+        # measured rate (hence share) spirals down — the EMA can only
+        # learn a path's true rate while the path stays saturated.
+        idle = [p for p in cands if p.idle()]
+        if idle:
+            return max(idle, key=lambda p: p.rate)
         return min(cands, key=lambda p: p.projected_wait(n_bases))
