@@ -361,20 +361,27 @@ def run_n_sweep(
         (graph, contig_lengths, n, seed_length, min_gap)
         for n in range(n_min, n_max + 1)
     ]
+    rendered = None
     if threads > 1 and len(jobs) > 1 and graph.n_edges() >= 512:
         import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
+        from concurrent.futures.process import BrokenProcessPool
 
         # spawn, not fork: the parent process usually has JAX's thread pools
         # live by this stage, and forking a multithreaded process can
-        # deadlock the child (os.fork RuntimeWarning under JAX). Spawned
-        # workers only import this module (no JAX), so startup stays cheap.
-        with ProcessPoolExecutor(
-            max_workers=min(threads, len(jobs)),
-            mp_context=multiprocessing.get_context("spawn"),
-        ) as ex:
-            rendered = list(ex.map(_sweep_one, jobs))
-    else:
+        # deadlock the child (os.fork RuntimeWarning under JAX). Spawn
+        # re-imports the caller's __main__, so a driver script without an
+        # `if __name__ == "__main__"` guard breaks the pool — fall back to
+        # the serial sweep rather than failing the pipeline.
+        try:
+            with ProcessPoolExecutor(
+                max_workers=min(threads, len(jobs)),
+                mp_context=multiprocessing.get_context("spawn"),
+            ) as ex:
+                rendered = list(ex.map(_sweep_one, jobs))
+        except BrokenProcessPool:
+            rendered = None
+    if rendered is None:
         rendered = [_sweep_one(job) for job in jobs]
 
     out_files = []
