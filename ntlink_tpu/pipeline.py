@@ -339,9 +339,13 @@ def map_reads(
             # output order (hence every artifact byte) is unchanged
             from .host_map import HostMapper
 
+            # full t host threads, not t-1: the device-side threads spend
+            # nearly all their time in GIL-released transfer waits, and
+            # measured hybrid throughput is higher with the host side fully
+            # populated than with a core reserved for the device feed
             mapper = HybridMapper(
                 mapper,
-                HostMapper(index, cfg.k, cfg.w, threads=max(1, cfg.t - 1)),
+                HostMapper(index, cfg.k, cfg.w, threads=max(1, cfg.t)),
                 cfg.hybrid_host_frac,
             )
     else:
