@@ -165,13 +165,28 @@ class DeviceMapper:
     # -- host fallback ----------------------------------------------------
 
     def _host_map_raw(self, codes: np.ndarray):
-        """NumPy fallback producing the raw array payload (exact path).
+        """Host fallback producing the raw array payload (exact path):
+        native C rolling sketcher when built, NumPy otherwise.
 
         Counted per-mapper (`host_fallbacks`); a summary line is printed at
         stream end so a fallback-heavy run (e.g. many ultra-long reads over
         MAX_PAD) is visible instead of just mysteriously slow."""
         self.host_fallbacks += 1
-        mins = nthash_np.sketch_codes(codes, self.k, self.w)
+        from .native import sketch_module
+        from .ops.nthash_np import Minimizers
+
+        sm = sketch_module()
+        if sm is not None:
+            _, hb, pb, fb = sm.sketch(
+                np.ascontiguousarray(codes), self.k, self.w
+            )
+            mins = Minimizers(
+                np.frombuffer(hb, np.uint64),
+                np.frombuffer(pb, np.int64),
+                np.frombuffer(fb, np.uint8).astype(bool),
+            )
+        else:
+            mins = nthash_np.sketch_codes(codes, self.k, self.w)
         found, cid, cpos, cstrand = self.index.lookup_many(mins.hashes)
         if not found.any():
             return None

@@ -365,7 +365,7 @@ _SKETCH_FLAT_CAPS: dict = {}
 
 
 class JaxSketcher:
-    """Batched device sketcher (NumPy fallback only for sub-k/oversized rows).
+    """Batched device sketcher (NumPy fallback only for sub-k rows).
 
     N-containing sequences (draft scaffolds are full of N gap runs — the
     primary input of scaffolding rounds >= 2) batch onto the device too, via
@@ -375,7 +375,18 @@ class JaxSketcher:
     truth). Uses the compacted sketch step: device->host transfers are
     O(minimizers), not O(bases) — essential over slow links and at
     assembly scale.
-    """
+
+    Sequences longer than MAX_PAD (whole assembled contigs routinely are:
+    the reference sketches multi-Mb drafts through indexlr, ntLink:198-199)
+    split into window-aligned chunks that sketch on-device like any other
+    row and merge exactly on the host: chunk boundaries are chosen so chunk
+    c computes windows [c*S, (c+1)*S) of the full sequence, and the only
+    cross-chunk coupling in the algorithm — the consecutive-winner dedup
+    `winner != prev` at the first window of a chunk — is re-applied at merge
+    time by dropping a chunk's leading minimizer iff it equals the winner of
+    the previous chunk's last window (= that chunk's last emitted
+    minimizer). Bit-exact vs the unchunked ground truth
+    (test_sketch_jax.py::test_long_sequence_chunking)."""
 
     #: padded length buckets (powers of two keep the jit cache tiny)
     MIN_PAD = 1 << 10
@@ -387,12 +398,31 @@ class JaxSketcher:
         # observed-minimizer-volume transfer caps per pad bucket
         # (process-wide so one file's batches teach the next file's)
         self._flat_caps = _SKETCH_FLAT_CAPS
+        # rows the device could not sketch (sub-k, N-containing oversized,
+        # or minimizer-slot overflow) re-sketched exactly on the host
+        self.host_fallbacks = 0
 
     def _pad_len(self, n: int) -> int:
         p = self.MIN_PAD
         while p < n and p < self.MAX_PAD:
             p <<= 1
         return p
+
+    def _host_sketch(self, codes: np.ndarray, k: int, w: int) -> Minimizers:
+        """Exact host fallback: native C rolling sketcher when built (~6x
+        the vectorized NumPy hasher, GIL-released), NumPy otherwise."""
+        self.host_fallbacks += 1
+        from ..native import sketch_module
+
+        sm = sketch_module()
+        if sm is not None:
+            _, hb, pb, fb = sm.sketch(np.ascontiguousarray(codes), k, w)
+            return Minimizers(
+                np.frombuffer(hb, np.uint64),
+                np.frombuffer(pb, np.int64),
+                np.frombuffer(fb, np.uint8).astype(bool),
+            )
+        return nthash_np.sketch_codes(codes, k, w)
 
     def _slots_for(self, L: int, w: int) -> int:
         want = int(2.5 * L / (w + 1)) + 64
@@ -427,9 +457,12 @@ class JaxSketcher:
         )
 
         pending: List[Tuple[str, int]] = []   # (name, length)
-        results: Dict[int, Minimizers] = {}
-        encoded: Dict[int, np.ndarray] = {}
-        buckets: Dict[tuple, List[int]] = {}  # (pad, has_n) -> row idxs
+        #: per-chunk outputs, keyed (seq_idx, chunk_idx)
+        results: Dict[Tuple[int, int], Minimizers] = {}
+        encoded: Dict[Tuple[int, int], np.ndarray] = {}
+        #: (pad, has_n) -> [(seq_idx, chunk_idx, base_offset), ...]
+        buckets: Dict[tuple, List[tuple]] = {}
+        n_chunks: Dict[int, int] = {}  # seq_idx -> chunk count (1 = whole)
         next_yield = [0]  # front of the in-order delivery window
 
         def bucket_rows(pad: int) -> int:
@@ -438,11 +471,11 @@ class JaxSketcher:
                 b <<= 1
             return b
 
-        def flush_bucket(key: tuple, idxs: List[int]) -> None:
+        def flush_bucket(key: tuple, idxs: List[tuple]) -> None:
             pad, has_n = key
             B = bucket_rows(pad)
             assert len(idxs) <= B
-            row_codes = [encoded.pop(i) for i in idxs]
+            row_codes = [encoded.pop((i, ci)) for i, ci, _ in idxs]
             lengths = np.zeros(B, dtype=np.int32)
             lengths[: len(idxs)] = [len(c) for c in row_codes]
             nmask = None
@@ -494,13 +527,18 @@ class JaxSketcher:
                 out, sliced, count, B, len(rows), self._flat_caps,
                 (k, w, pad),
             )
-            for row, i in rows.items():
+            for row, (i, ci, base_off) in rows.items():
                 n = int(count[row])
                 if n_mins[row] > slots:
-                    results[i] = nthash_np.sketch_codes(row_codes[row], k, w)
+                    m = self._host_sketch(row_codes[row], k, w)
+                    results[(i, ci)] = (
+                        Minimizers(m.hashes, m.positions + base_off, m.forward)
+                        if base_off
+                        else m
+                    )
                     continue
                 if n == 0:
-                    results[i] = Minimizers(
+                    results[(i, ci)] = Minimizers(
                         np.zeros(0, np.uint64), np.zeros(0, np.int64),
                         np.zeros(0, bool),
                     )
@@ -512,23 +550,54 @@ class JaxSketcher:
                     | flat[2, o : o + n].view(np.uint32).astype(np.uint64)
                 )
                 pos_strand = flat[0, o : o + n]
-                results[i] = Minimizers(
+                results[(i, ci)] = Minimizers(
                     hashes,
-                    (pos_strand & 0x3FFFFFFF).astype(np.int64),
+                    (pos_strand & 0x3FFFFFFF).astype(np.int64) + base_off,
                     (pos_strand >> 30).astype(bool),
                 )
 
         pipe = DevicePipeline(dispatch_batch, drain, name="ntlink-sk")
+
+        def merged(i: int) -> Minimizers:
+            nc = n_chunks[i]
+            if nc == 1:
+                return results.pop((i, 0))
+            # exact cross-chunk dedup: the full-sequence kernel emits at
+            # window j iff winner(j) != winner(j-1); a chunk's first window
+            # always emits (no prev), so drop it iff it equals the previous
+            # chunk's last-window winner — which is that chunk's last
+            # emitted minimizer BEFORE any seam trim of its own
+            hs, ps, fs = [], [], []
+            prev_last = -1
+            for ci in range(nc):
+                m = results.pop((i, ci))
+                h, po, f = m.hashes, m.positions, m.forward
+                if len(po) and len(ps) and int(po[0]) == prev_last:
+                    h, po, f = h[1:], po[1:], f[1:]
+                if len(m.positions):
+                    prev_last = int(m.positions[-1])
+                hs.append(h)
+                ps.append(po)
+                fs.append(f)
+            return Minimizers(
+                np.concatenate(hs), np.concatenate(ps), np.concatenate(fs)
+            )
+
+        def have_all(i: int) -> bool:
+            nc = n_chunks.get(i, 1)
+            if nc == 1:
+                return (i, 0) in results
+            return all((i, ci) in results for ci in range(nc))
 
         def ready_results():
             # deliver strictly in input order as soon as a batch drains, so
             # the consumer's TSV rendering / downstream work overlaps later
             # batches' wire+device time (drainer only ADDS keys, main pops)
             i = next_yield[0]
-            while i < len(pending) and i in results:
+            while i < len(pending) and have_all(i):
                 name, length = pending[i]
                 pending[i] = None
-                yield name, length, results.pop(i)
+                yield name, length, merged(i)
                 i += 1
             next_yield[0] = i
 
@@ -540,10 +609,24 @@ class JaxSketcher:
             pipe.join_all()
             for i in range(next_yield[0], len(pending)):
                 name, length = pending[i]
-                yield name, length, results.pop(i)
+                yield name, length, merged(i)
             pending.clear()
             results.clear()
+            n_chunks.clear()
             next_yield[0] = 0
+
+        def enqueue_chunk(i: int, ci: int, codes: np.ndarray, off: int,
+                          has_n: bool) -> int:
+            """Bucket one device row; returns its padded length."""
+            encoded[(i, ci)] = codes
+            pad = self._pad_len(len(codes))
+            key = (pad, has_n)
+            bucket = buckets.setdefault(key, [])
+            bucket.append((i, ci, off))
+            if len(bucket) >= bucket_rows(pad):
+                flush_bucket(key, bucket)
+                buckets[key] = []
+            return pad
 
         try:
             budget = 0
@@ -553,26 +636,48 @@ class JaxSketcher:
                 codes = (
                     seq if isinstance(seq, np.ndarray) else nthash_np.encode(seq)
                 )
-                if len(codes) < k or len(codes) > self.MAX_PAD:
-                    # numpy path: short or oversized sequences
-                    results[i] = nthash_np.sketch_codes(codes, k, w)
+                has_n = bool((codes > 3).any())
+                if len(codes) < k or (len(codes) > self.MAX_PAD and has_n):
+                    # host path: sub-k rows (no windows), and oversized
+                    # N-containing rows (chunk seams do not compose with
+                    # the compacted-window semantics) — native C sketcher
+                    n_chunks[i] = 1
+                    results[(i, 0)] = self._host_sketch(codes, k, w)
                     yield from ready_results()
                     continue
-                encoded[i] = codes
-                pad = self._pad_len(len(codes))
-                # N-containing rows (draft scaffolds' gap runs) batch
-                # separately: compacted-window XLA kernel + 1-bit N mask
-                key = (pad, bool((codes > 3).any()))
-                bucket = buckets.setdefault(key, [])
-                bucket.append(i)
-                if len(bucket) >= bucket_rows(pad):
-                    flush_bucket(key, bucket)
-                    buckets[key] = []
-                    yield from ready_results()
-                budget += pad
+                if len(codes) > self.MAX_PAD:
+                    # window-aligned chunks: chunk c computes windows
+                    # [c*S, (c+1)*S); interior chunks are exactly MAX_PAD
+                    # bases (zero pad waste), merged() re-applies the
+                    # cross-chunk winner dedup
+                    S = self.MAX_PAD - (k + w - 2)
+                    M = len(codes) - (k + w - 2)  # total windows
+                    nc = (M + S - 1) // S
+                    n_chunks[i] = nc
+                    for ci in range(nc):
+                        lo = ci * S
+                        hi = min(lo + S, M) + (k + w - 2)
+                        budget += enqueue_chunk(
+                            i, ci, codes[lo:hi], lo, False
+                        )
+                else:
+                    # N-containing rows (draft scaffolds' gap runs) batch
+                    # separately: compacted-window XLA kernel + 1-bit N mask
+                    n_chunks[i] = 1
+                    budget += enqueue_chunk(i, 0, codes, 0, has_n)
+                yield from ready_results()
                 if budget >= 4 * self.batch_bases:
                     yield from flush_all()
                     budget = 0
             yield from flush_all()
         finally:
             pipe.close()
+            if self.host_fallbacks:
+                import sys
+
+                print(
+                    f"# ntlink sketch: {self.host_fallbacks} row(s) took "
+                    f"the exact host fallback path (sub-k, oversized with "
+                    f"N, or minimizer-slot overflow)",
+                    file=sys.stderr,
+                )

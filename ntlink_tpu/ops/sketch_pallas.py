@@ -42,6 +42,55 @@ from .sketch_jax import _lex_lt2, sliding_hashes
 ROWS = 8  # row tile (sublane dimension)
 
 
+def _sketch_core(codes, lengths, k: int, w: int, L: int):
+    """Shared kernel math on VALUES: per-position canonical hashes +
+    log-doubling sliding leftmost-argmin. Returns (can_hi, can_lo, fwd,
+    winner, win_hi) as (ROWS, L) planes."""
+    FULL = jnp.uint32(0xFFFFFFFF)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, L), 1)
+
+    roll_l = lambda p, o: pltpu.roll(p, L - o, 1) if o else p
+    fh_hi, fh_lo, rh_hi, rh_lo = sliding_hashes(codes, k, roll_l)
+
+    can_lo = fh_lo + rh_lo
+    carry = (can_lo < fh_lo).astype(jnp.uint32)
+    can_hi = fh_hi + rh_hi + carry
+
+    fwd = (fh_hi < rh_hi) | ((fh_hi == rh_hi) & (fh_lo <= rh_lo))
+
+    invalid = lane > (lengths - k)
+    key_hi = jnp.where(invalid, FULL, can_hi)
+    key_lo = jnp.where(invalid, FULL, can_lo)
+
+    # log-doubling sliding leftmost-argmin; raw circular rolls —
+    # wrapped values only reach positions >= L-w+1, past the last
+    # consumed window NW-1 = L-k-w+1
+    m_hi, m_lo = key_hi, key_lo
+    m_idx = lane
+    span = 1
+    while span * 2 <= w:
+        o = span
+        s_hi = pltpu.roll(m_hi, L - o, 1)
+        s_lo = pltpu.roll(m_lo, L - o, 1)
+        s_idx = pltpu.roll(m_idx, L - o, 1)
+        take = _lex_lt2(s_hi, s_lo, m_hi, m_lo)
+        m_hi = jnp.where(take, s_hi, m_hi)
+        m_lo = jnp.where(take, s_lo, m_lo)
+        m_idx = jnp.where(take, s_idx, m_idx)
+        span *= 2
+    o = w - span
+    if o:
+        b_hi = pltpu.roll(m_hi, L - o, 1)
+        b_lo = pltpu.roll(m_lo, L - o, 1)
+        b_idx = pltpu.roll(m_idx, L - o, 1)
+    else:
+        b_hi, b_lo, b_idx = m_hi, m_lo, m_idx
+    take = _lex_lt2(b_hi, b_lo, m_hi, m_lo)
+    winner = jnp.where(take, b_idx, m_idx)
+    win_hi = jnp.where(take, b_hi, m_hi)
+    return can_hi, can_lo, fwd, winner, win_hi
+
+
 def _make_kernel(k: int, w: int, L: int, emit_mode: bool = True):
     """emit_mode=True: final output plane is the emit mask (consecutive-
     winner dedup against the in-row previous window). emit_mode=False
@@ -55,45 +104,9 @@ def _make_kernel(k: int, w: int, L: int, emit_mode: bool = True):
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, L), 1)
         lengths = len_ref[:, 0:1]                    # (ROWS, 1) int32
 
-        roll_l = lambda p, o: pltpu.roll(p, L - o, 1) if o else p
-        fh_hi, fh_lo, rh_hi, rh_lo = sliding_hashes(codes, k, roll_l)
-
-        can_lo = fh_lo + rh_lo
-        carry = (can_lo < fh_lo).astype(jnp.uint32)
-        can_hi = fh_hi + rh_hi + carry
-
-        fwd = (fh_hi < rh_hi) | ((fh_hi == rh_hi) & (fh_lo <= rh_lo))
-
-        invalid = lane > (lengths - k)
-        key_hi = jnp.where(invalid, FULL, can_hi)
-        key_lo = jnp.where(invalid, FULL, can_lo)
-
-        # log-doubling sliding leftmost-argmin; raw circular rolls —
-        # wrapped values only reach positions >= L-w+1, past the last
-        # consumed window NW-1 = L-k-w+1
-        m_hi, m_lo = key_hi, key_lo
-        m_idx = lane
-        span = 1
-        while span * 2 <= w:
-            o = span
-            s_hi = pltpu.roll(m_hi, L - o, 1)
-            s_lo = pltpu.roll(m_lo, L - o, 1)
-            s_idx = pltpu.roll(m_idx, L - o, 1)
-            take = _lex_lt2(s_hi, s_lo, m_hi, m_lo)
-            m_hi = jnp.where(take, s_hi, m_hi)
-            m_lo = jnp.where(take, s_lo, m_lo)
-            m_idx = jnp.where(take, s_idx, m_idx)
-            span *= 2
-        o = w - span
-        if o:
-            b_hi = pltpu.roll(m_hi, L - o, 1)
-            b_lo = pltpu.roll(m_lo, L - o, 1)
-            b_idx = pltpu.roll(m_idx, L - o, 1)
-        else:
-            b_hi, b_lo, b_idx = m_hi, m_lo, m_idx
-        take = _lex_lt2(b_hi, b_lo, m_hi, m_lo)
-        winner = jnp.where(take, b_idx, m_idx)
-        win_hi = jnp.where(take, b_hi, m_hi)
+        can_hi, can_lo, fwd, winner, win_hi = _sketch_core(
+            codes, lengths, k, w, L
+        )
 
         can_hi_ref[:, :] = can_hi
         can_lo_ref[:, :] = can_lo
@@ -156,50 +169,73 @@ def sketch_batch_pallas_chunked(codes, lengths, k: int, w: int,
     """
     B, L = codes.shape
     assert B % ROWS == 0 and L % chunk == 0 and chunk % 128 == 0
-    ov = _ceil_to(k + w - 2, 128)
+    # halo width: next power of two >= the window reach, so the ov-wide
+    # halo BlockSpec always lands on a block boundary of the pow2 chunk
+    ov = 128
+    while ov < k + w - 2:
+        ov <<= 1
+    assert chunk % ov == 0, (chunk, ov)
     L_in = chunk + ov
-    kernel = _make_kernel(k, w, L_in, emit_mode=False)
-    grid = (B // ROWS,)
-    row_spec = pl.BlockSpec((ROWS, L_in), lambda i: (i, 0))
-    len_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0))
-    out_shape = [
-        jax.ShapeDtypeStruct((B, L_in), jnp.uint32),
-        jax.ShapeDtypeStruct((B, L_in), jnp.uint32),
-        jax.ShapeDtypeStruct((B, L_in), jnp.int32),
-        jax.ShapeDtypeStruct((B, L_in), jnp.int32),
-        jax.ShapeDtypeStruct((B, L_in), jnp.int32),
-    ]
-    codes_i = codes.astype(jnp.int32)
-    codes_pad = jnp.concatenate(
-        [codes_i, jnp.zeros((B, ov), jnp.int32)], axis=1
-    )
-    lengths_i = lengths.astype(jnp.int32)
+    nch = L // chunk
 
-    # unrolled chunk loop + one concatenate per plane: measured at full
-    # single-chunk throughput (a fori_loop + dynamic_update_slice carry
-    # form ran orders of magnitude slower on TPU)
-    parts = {key: [] for key in ("hi", "lo", "fwd", "win", "key")}
-    for ci in range(L // chunk):
-        off = ci * chunk
-        codes_c = jax.lax.slice_in_dim(codes_pad, off, off + L_in, axis=1)
-        len_c = jnp.clip(lengths_i - off, 0, L_in)
-        len_tiled = jnp.broadcast_to(len_c[:, None], (B, 128))
-        o_hi, o_lo, o_fwd, o_win, o_key = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[row_spec, len_spec],
-            out_specs=[row_spec] * 5,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(codes_c, len_tiled)
-        parts["hi"].append(o_hi[:, :chunk])
-        parts["lo"].append(o_lo[:, :chunk])
-        parts["fwd"].append(o_fwd[:, :chunk])
-        parts["win"].append(o_win[:, :chunk] + off)
-        parts["key"].append(o_key[:, :chunk])
-    cat = lambda key: jnp.concatenate(parts[key], axis=1)
-    can_hi, can_lo, fwd = cat("hi"), cat("lo"), cat("fwd")
-    winner, win_hi = cat("win"), cat("key")
+    # ONE pallas_call with a (row-tiles, chunks) grid. The per-chunk input
+    # is expressed as two views of the same padded tensor — a chunk-wide
+    # main block plus an ov-wide halo block starting where the main block
+    # ends — concatenated inside the kernel, so no data is duplicated in
+    # HBM and the kernel compiles ONCE regardless of L. (The previous
+    # unrolled-python-loop form emitted L/chunk structurally identical
+    # pallas_calls; at L=2^21 that was 128 separate kernel compiles —
+    # ~9 minutes of first-execution XLA time per process.)
+    def kernel(main_ref, halo_ref, len_ref, can_hi_ref, can_lo_ref,
+               fwd_ref, winner_ref, key_ref):
+        codes_c = jnp.concatenate([main_ref[:, :], halo_ref[:, :]], axis=1)
+        lengths_c = len_ref[:, 0:1]
+        can_hi, can_lo, fwd, winner, win_hi = _sketch_core(
+            codes_c, lengths_c, k, w, L_in
+        )
+        off = pl.program_id(1) * chunk
+        can_hi_ref[:, :] = can_hi
+        can_lo_ref[:, :] = can_lo
+        fwd_ref[:, :] = fwd.astype(jnp.int32)
+        winner_ref[:, :] = winner + off  # global window index
+        key_ref[:, :] = win_hi.astype(jnp.int32)
+
+    codes_pad = jnp.concatenate(
+        [codes.astype(jnp.int32), jnp.zeros((B, ov), jnp.int32)], axis=1
+    )
+    offs = jnp.arange(nch, dtype=jnp.int32) * chunk
+    len_c = jnp.clip(lengths.astype(jnp.int32)[:, None] - offs[None, :], 0, L_in)
+    len_tiled = jnp.broadcast_to(
+        len_c[:, :, None], (B, nch, 128)
+    ).reshape(B, nch * 128)
+
+    grid = (B // ROWS, nch)
+    main_spec = pl.BlockSpec((ROWS, chunk), lambda r, c: (r, c))
+    halo_spec = pl.BlockSpec(
+        (ROWS, ov), lambda r, c: (r, (c + 1) * (chunk // ov))
+    )
+    len_spec = pl.BlockSpec((ROWS, 128), lambda r, c: (r, c))
+    out_spec = pl.BlockSpec((ROWS, L_in), lambda r, c: (r, c))
+    out_shape = [
+        jax.ShapeDtypeStruct((B, nch * L_in), jnp.uint32),
+        jax.ShapeDtypeStruct((B, nch * L_in), jnp.uint32),
+        jax.ShapeDtypeStruct((B, nch * L_in), jnp.int32),
+        jax.ShapeDtypeStruct((B, nch * L_in), jnp.int32),
+        jax.ShapeDtypeStruct((B, nch * L_in), jnp.int32),
+    ]
+    o_hi, o_lo, o_fwd, o_win, o_key = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[main_spec, halo_spec, len_spec],
+        out_specs=[out_spec] * 5,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(codes_pad, codes_pad, len_tiled)
+
+    # drop each chunk's ov tail columns: (B, nch*L_in) -> (B, L)
+    keep = lambda a: a.reshape(B, nch, L_in)[:, :, :chunk].reshape(B, L)
+    can_hi, can_lo, fwd = keep(o_hi), keep(o_lo), keep(o_fwd)
+    winner, win_hi = keep(o_win), keep(o_key)
 
     FULL = jnp.uint32(0xFFFFFFFF)
     M = L - k + 1

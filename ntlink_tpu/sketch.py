@@ -36,24 +36,59 @@ def sketch_sequences(
     k: int,
     w: int,
     backend=None,
+    threads: int = 1,
 ) -> Iterator[Tuple[str, int, Minimizers]]:
-    """Yield (name, seq_len, Minimizers) per input sequence."""
+    """Yield (name, seq_len, Minimizers) per input sequence.
+
+    `threads` > 1 (host backend only) runs the native C rolling sketcher
+    over a thread pool — it releases the GIL, so this is real CPU
+    parallelism (the stand-in for btllib indexlr's `-t`, ntLink:199).
+    Output order is preserved."""
     if backend is None:
         from .native import sketch_module
 
         sm = sketch_module()
         if sm is not None:
-            # native rolling sketcher (bit-exact vs nthash_np; ~3x the
+            # native rolling sketcher (bit-exact vs nthash_np; ~6x the
             # vectorized NumPy hasher at assembly scale)
             import numpy as np
 
-            for name, seq in named_seqs:
-                _, hb, pb, fb = sm.sketch(nthash_np.encode(seq), k, w)
-                yield name, len(seq), Minimizers(
+            def decode(res, n):
+                _, hb, pb, fb = res
+                return n, Minimizers(
                     np.frombuffer(hb, np.uint64),
                     np.frombuffer(pb, np.int64),
                     np.frombuffer(fb, np.uint8).astype(bool),
                 )
+
+            if threads > 1:
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+
+                def job(item):
+                    name, seq = item
+                    return name, decode(
+                        sm.sketch(nthash_np.encode(seq), k, w), len(seq)
+                    )
+
+                with ThreadPoolExecutor(max_workers=threads) as pool:
+                    # bounded in-flight window (2x threads): keeps every
+                    # core fed without materializing the whole input (a
+                    # genome's worth of sequence) in memory; FIFO pops
+                    # preserve input order
+                    inflight = deque()
+                    for item in named_seqs:
+                        inflight.append(pool.submit(job, item))
+                        if len(inflight) >= 2 * threads:
+                            name, (n, mins) = inflight.popleft().result()
+                            yield name, n, mins
+                    while inflight:
+                        name, (n, mins) = inflight.popleft().result()
+                        yield name, n, mins
+                return
+            for name, seq in named_seqs:
+                n, mins = decode(sm.sketch(nthash_np.encode(seq), k, w), len(seq))
+                yield name, n, mins
             return
         for name, seq in named_seqs:
             yield name, len(seq), nthash_np.sketch_sequence(seq, k, w)
@@ -98,10 +133,13 @@ def write_sketch_tsv(
     with_strand: bool = True,
     with_len: bool = False,
     backend=None,
+    threads: int = 1,
 ) -> None:
     """Stream sequences through the sketcher, writing indexlr-style TSV
     (binary file handle)."""
-    for name, seq_len, mins in sketch_sequences(named_seqs, k, w, backend=backend):
+    for name, seq_len, mins in sketch_sequences(
+        named_seqs, k, w, backend=backend, threads=threads
+    ):
         body = format_minimizers_bytes(mins, with_strand=with_strand)
         if with_len:
             out_fh.write(f"{name}\t{seq_len}\t".encode() + body + b"\n")
@@ -117,6 +155,7 @@ def sketch_fasta_to_tsv(
     with_strand: bool = True,
     with_len: bool = False,
     backend=None,
+    threads: int = 1,
 ) -> None:
     with open(out_path, "wb") as out_fh:
         write_sketch_tsv(
@@ -127,4 +166,5 @@ def sketch_fasta_to_tsv(
             with_strand=with_strand,
             with_len=with_len,
             backend=backend,
+            threads=threads,
         )
