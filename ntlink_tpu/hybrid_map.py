@@ -230,20 +230,33 @@ class _ReorderSink:
             yield raw
 
 
-class HybridMapper:
-    """Split one read stream across a DeviceMapper and a HostMapper."""
+class HybridStream:
+    """Generic two-path ordered stream scheduler.
 
-    def __init__(self, device_mapper, host_mapper, host_frac: float = -1.0):
-        self.device = device_mapper
-        self.host = host_mapper
+    Drives two "path" objects — anything exposing
+    ``map_stream_raw(iter[(name, payload)]) -> iter[(name, len, result)]``
+    with in-order delivery — concurrently over one input stream, re-emitting
+    results strictly in input order. Used for mapping (`HybridMapper`:
+    DeviceMapper + HostMapper) and sketching (`sketch.HybridSketcher`:
+    JaxSketcher + native C thread pool). The assignment policy can never
+    change outputs (both paths are exact), only speed."""
+
+    #: assignment quantum (overridable per subclass: one device bucket's
+    #: worth of items keeps device-routed blocks batching as full heights)
+    BLOCK_READS = BLOCK_READS
+    BLOCK_BASES = BLOCK_BASES
+    #: conservative service-rate priors (bases/s); see stream()
+    PRIOR_RATE = 8e6
+
+    def __init__(self, device, host, host_frac: float = -1.0):
+        self.device = device
+        self.host = host
         self.host_frac = host_frac  # < 0: adaptive
         self._frac_carry = 0.0
-        self.contig_names = device_mapper.contig_names
-        self._contig_order = device_mapper._contig_order
         self.host_reads = 0
         self.device_reads = 0
 
-    def map_stream_raw(
+    def stream(
         self, named_codes: Iterable[Tuple[str, object]]
     ) -> Iterator[Tuple[str, int, Optional[tuple]]]:
         sink = _ReorderSink()
@@ -251,8 +264,8 @@ class HybridMapper:
         # (the other picks up the slack and the EMA corrects within a few
         # blocks); over-feeding a path that turns out slow strands early
         # sequence numbers behind MAX_LAG_S of backlog
-        dev = _Runner("device", self.device, sink, prior_rate=8e6)
-        host = _Runner("host", self.host, sink, prior_rate=8e6)
+        dev = _Runner("device", self.device, sink, prior_rate=self.PRIOR_RATE)
+        host = _Runner("host", self.host, sink, prior_rate=self.PRIOR_RATE)
         dev.start()
         host.start()
 
@@ -268,7 +281,10 @@ class HybridMapper:
                 block.append((seq, name, codes))
                 block_bases += len(codes)
                 seq += 1
-                if len(block) >= BLOCK_READS or block_bases >= BLOCK_BASES:
+                if (
+                    len(block) >= self.BLOCK_READS
+                    or block_bases >= self.BLOCK_BASES
+                ):
                     while True:
                         target = self._pick(dev, host, block, block_idx)
                         for raw in sink.pop_ready():
@@ -331,3 +347,17 @@ class HybridMapper:
         if idle:
             return max(idle, key=lambda p: p.rate)
         return min(cands, key=lambda p: p.projected_wait(n_bases))
+
+
+class HybridMapper(HybridStream):
+    """Split one read stream across a DeviceMapper and a HostMapper."""
+
+    def __init__(self, device_mapper, host_mapper, host_frac: float = -1.0):
+        super().__init__(device_mapper, host_mapper, host_frac)
+        self.contig_names = device_mapper.contig_names
+        self._contig_order = device_mapper._contig_order
+
+    def map_stream_raw(
+        self, named_codes: Iterable[Tuple[str, object]]
+    ) -> Iterator[Tuple[str, int, Optional[tuple]]]:
+        yield from self.stream(named_codes)

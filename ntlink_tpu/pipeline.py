@@ -46,7 +46,7 @@ def ensure_contig_sketch_tsv(cfg: ScaffoldConfig, k: int, w: int, with_strand=Tr
         log("Reusing sketch", out)
         return out
     log("Sketching", cfg.target, f"(k={k}, w={w})")
-    backend = get_backend(cfg.backend)
+    backend = get_backend(cfg.backend, threads=cfg.t)
     sketch_fasta_to_tsv(
         cfg.target, out, k, w, with_strand=with_strand, backend=backend,
         threads=cfg.t,

@@ -17,18 +17,23 @@ from .ops.nthash_np import Minimizers
 from .seqio import stream_fastx
 
 
-def get_backend(name: str = "auto"):
-    """Resolve a sketching backend by name ("numpy", "jax", "auto")."""
+def get_backend(name: str = "auto", threads: int = 1):
+    """Resolve a sketching backend by name
+    ("numpy", "jax", "hybrid", "auto")."""
     if name == "numpy":
         return None
     try:
         from .ops import sketch_jax  # noqa: PLC0415
 
-        return sketch_jax.JaxSketcher()
+        dev = sketch_jax.JaxSketcher()
     except Exception:  # pragma: no cover - jax unavailable
         if name == "jax":
             raise
         return None
+    if name == "hybrid":
+        # device + native C thread pool concurrently (bit-exact merge)
+        return HybridSketcher(dev, threads=max(1, threads))
+    return dev
 
 
 def sketch_sequences(
@@ -45,13 +50,18 @@ def sketch_sequences(
     parallelism (the stand-in for btllib indexlr's `-t`, ntLink:199).
     Output order is preserved."""
     if backend is None:
+        import numpy as np
+
         from .native import sketch_module
+
+        def to_codes(seq):
+            # payloads may arrive pre-encoded (HybridSketcher paths)
+            return seq if isinstance(seq, np.ndarray) else nthash_np.encode(seq)
 
         sm = sketch_module()
         if sm is not None:
             # native rolling sketcher (bit-exact vs nthash_np; ~6x the
             # vectorized NumPy hasher at assembly scale)
-            import numpy as np
 
             def decode(res, n):
                 _, hb, pb, fb = res
@@ -68,7 +78,7 @@ def sketch_sequences(
                 def job(item):
                     name, seq = item
                     return name, decode(
-                        sm.sketch(nthash_np.encode(seq), k, w), len(seq)
+                        sm.sketch(to_codes(seq), k, w), len(seq)
                     )
 
                 with ThreadPoolExecutor(max_workers=threads) as pool:
@@ -87,13 +97,85 @@ def sketch_sequences(
                         yield name, n, mins
                 return
             for name, seq in named_seqs:
-                n, mins = decode(sm.sketch(nthash_np.encode(seq), k, w), len(seq))
+                n, mins = decode(sm.sketch(to_codes(seq), k, w), len(seq))
                 yield name, n, mins
             return
         for name, seq in named_seqs:
-            yield name, len(seq), nthash_np.sketch_sequence(seq, k, w)
+            yield name, len(seq), nthash_np.sketch_codes(to_codes(seq), k, w)
     else:
         yield from backend.sketch_stream(named_seqs, k, w)
+
+
+class _DeviceSketchPath:
+    """Adapt a device sketch backend to the HybridStream path interface."""
+
+    def __init__(self, backend, k: int, w: int):
+        self.backend, self.k, self.w = backend, k, w
+
+    def map_stream_raw(self, named_codes):
+        yield from self.backend.sketch_stream(named_codes, self.k, self.w)
+
+
+class _HostSketchPath:
+    """Threaded native-C sketch path (HybridStream interface)."""
+
+    def __init__(self, k: int, w: int, threads: int):
+        self.k, self.w, self.threads = k, w, threads
+
+    def map_stream_raw(self, named_codes):
+        def to_seq(codes):
+            import numpy as np
+
+            if isinstance(codes, np.ndarray):
+                return codes
+            return nthash_np.encode(codes)
+
+        yield from sketch_sequences(
+            ((name, to_seq(c)) for name, c in named_codes),
+            self.k,
+            self.w,
+            threads=self.threads,
+        )
+
+
+class HybridSketcher:
+    """CPU+device sketching: JaxSketcher and the native C thread pool run
+    concurrently over one sequence stream (same HybridStream scheduler as
+    `backend=hybrid` mapping; both paths are bit-exact, so the adaptive
+    split can only change speed, never bytes). This is what a multi-Mb
+    draft sketch wants on hosts where the device link is the bottleneck:
+    the chip takes what the wire can feed, host cores sketch the rest."""
+
+    def __init__(self, device_backend=None, threads: int = 4,
+                 host_frac: float = -1.0, block_items: int = 64,
+                 block_bases: int = 16_000_000):
+        from .ops.sketch_jax import JaxSketcher
+
+        self.device_backend = device_backend or JaxSketcher()
+        self.threads = max(1, threads)
+        self.host_frac = host_frac
+        # assignment quanta: a block is ~one device bucket of bases; the
+        # item-count quantum keeps many-small-sequence streams splitting
+        self.block_items = block_items
+        self.block_bases = block_bases
+        self.host_seqs = 0
+        self.device_seqs = 0
+
+    def sketch_stream(self, named_seqs, k: int, w: int):
+        from .hybrid_map import HybridStream
+
+        sched = HybridStream(
+            _DeviceSketchPath(self.device_backend, k, w),
+            _HostSketchPath(k, w, self.threads),
+            host_frac=self.host_frac,
+        )
+        sched.BLOCK_READS = self.block_items
+        sched.BLOCK_BASES = self.block_bases
+        try:
+            yield from sched.stream(named_seqs)
+        finally:
+            self.host_seqs = sched.host_reads
+            self.device_seqs = sched.device_reads
 
 
 def format_minimizers_bytes(mins: Minimizers, with_strand: bool = True) -> bytes:
