@@ -30,9 +30,15 @@ def get_backend(name: str = "auto", threads: int = 1):
         if name == "jax":
             raise
         return None
-    if name == "hybrid":
-        # device + native C thread pool concurrently (bit-exact merge)
-        return HybridSketcher(dev, threads=max(1, threads))
+    if name == "hybrid" or (name == "auto" and threads > 1):
+        from .native import sketch_module
+
+        if sketch_module() is not None:
+            # device + native C thread pool concurrently (bit-exact
+            # merge): never loses to either path alone, so it is also the
+            # `auto` choice whenever the C sketcher is built and the
+            # config grants host threads
+            return HybridSketcher(dev, threads=max(1, threads))
     return dev
 
 
