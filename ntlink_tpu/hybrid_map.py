@@ -67,6 +67,9 @@ class _Runner:
         self._span_start = 0.0
         self._span_bases = 0
         self.reads_done = 0
+        #: stall clock: last time this path delivered a result OR went
+        #: from idle to fed (so warmup stalls are measured from the feed)
+        self.last_progress_t = time.monotonic()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def start(self):
@@ -77,6 +80,7 @@ class _Runner:
             if self.pending_bases == 0:
                 self._span_start = time.perf_counter()
                 self._span_bases = 0
+                self.last_progress_t = time.monotonic()
             for seq, name, codes in block:
                 self.queue.append((seq, name, codes))
                 self.fifo.append(seq)
@@ -88,8 +92,20 @@ class _Runner:
             self.closed = True
             self.cond.notify()
 
-    def join(self) -> None:
-        self._thread.join()
+    def join(self, timeout: float = 30.0) -> None:
+        """Bounded join: a path wedged on a dead transport (its daemon
+        thread blocked inside the mapper) must not hang the whole stream —
+        every result has already been delivered (possibly via rescue) by
+        the time join runs, so an over-deadline thread is abandoned with a
+        warning instead."""
+        self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            print(
+                f"# ntlink hybrid: abandoning wedged {self.name} path "
+                f"thread after {timeout:.0f}s (results were delivered "
+                f"by the other path)",
+                file=sys.stderr,
+            )
         if self.error is not None:
             raise self.error
 
@@ -100,6 +116,14 @@ class _Runner:
     def idle(self) -> bool:
         with self.lock:
             return self.pending_bases == 0
+
+    def stuck_prefix(self, limit: int):
+        """Snapshot of this path's earliest undelivered sequence numbers
+        (for stall rescue)."""
+        import itertools
+
+        with self.lock:
+            return list(itertools.islice(self.fifo, limit))
 
     def eligible(self, n_bases: int) -> bool:
         """Bounded in-flight: never queue more than ~MAX_LAG_S of work at
@@ -163,11 +187,12 @@ class _Runner:
                         self.pending_bases -= ln
                         self._span_bases += ln
                         self.reads_done += 1
+                        self.last_progress_t = time.monotonic()
                         dt = time.perf_counter() - self._span_start
                         if dt > 0.05 and self._span_bases > 0:
                             inst = self._span_bases / dt
                             self.rate = 0.7 * self.rate + 0.3 * inst
-                    self.sink.post(seq, raw)
+                    self.sink.post(seq, raw, self.name)
         except BaseException as exc:
             self.error = exc
             self.sink.abort(exc)
@@ -178,13 +203,17 @@ class _ReorderSink:
         self.lock = threading.Lock()
         self.cond = threading.Condition(self.lock)
         self.buf = {}
+        self.wins = {}  # path name -> results that won delivery
         self.next = 0
         self.error: Optional[BaseException] = None
         self._warned = False
 
-    def post(self, seq: int, raw) -> None:
+    def post(self, seq: int, raw, path: str = "") -> None:
         with self.lock:
+            if seq < self.next or seq in self.buf:
+                return  # duplicate from a stall rescue: first result wins
             self.buf[seq] = raw
+            self.wins[path] = self.wins.get(path, 0) + 1
             if len(self.buf) > SKEW_WARN and not self._warned:
                 self._warned = True
                 print(
@@ -211,23 +240,20 @@ class _ReorderSink:
                 self.next += 1
         return out
 
-    def pop_blocking(self, upto: int):
-        """Pop (blocking) until `upto` results have been delivered."""
-        while True:
-            with self.lock:
-                while (
-                    self.next < upto
-                    and self.next not in self.buf
-                    and self.error is None
-                ):
-                    self.cond.wait()
-                if self.error is not None:
-                    raise self.error
-                if self.next >= upto:
-                    return
-                raw = self.buf.pop(self.next)
+    def pop_wait(self, timeout: float):
+        """Pop the contiguous ready prefix, waiting up to `timeout` for the
+        first deliverable result. Returns [] on timeout (caller may run a
+        stall rescue and retry)."""
+        with self.lock:
+            if self.next not in self.buf and self.error is None:
+                self.cond.wait(timeout=timeout)
+            if self.error is not None:
+                raise self.error
+            out = []
+            while self.next in self.buf:
+                out.append(self.buf.pop(self.next))
                 self.next += 1
-            yield raw
+            return out
 
 
 class HybridStream:
@@ -269,15 +295,24 @@ class HybridStream:
         dev.start()
         host.start()
 
-        meta = {}
+        held = {}  # seq -> (name, codes): retained until delivery so a
+        #            stalled path's items can re-run on the other path
         seq = 0
         delivered = 0
         block = []
         block_bases = 0
         block_idx = 0
+
+        def deliver(raws):
+            nonlocal delivered
+            for raw in raws:
+                name_o, codes_o = held.pop(delivered)
+                delivered += 1
+                yield name_o, len(codes_o), raw
+
         try:
             for name, codes in named_codes:
-                meta[seq] = (name, len(codes))
+                held[seq] = (name, codes)
                 block.append((seq, name, codes))
                 block_bases += len(codes)
                 seq += 1
@@ -287,15 +322,13 @@ class HybridStream:
                 ):
                     while True:
                         target = self._pick(dev, host, block, block_idx)
-                        for raw in sink.pop_ready():
-                            name_o, ln_o = meta.pop(delivered)
-                            delivered += 1
-                            yield name_o, ln_o, raw
+                        yield from deliver(sink.pop_ready())
                         if target is not None:
                             target.submit(block)
                             break
                         # both paths (or the reorder buffer) are at their
                         # in-flight caps: backpressure the input
+                        self._rescue(sink, held, dev, host)
                         time.sleep(0.002)
                     block_idx += 1
                     block = []
@@ -303,19 +336,72 @@ class HybridStream:
             if block:
                 (self._pick(dev, host, block, block_idx, force=True)
                  or dev).submit(block)
+            # final drain BEFORE close: the runners' idle-flush input
+            # generators force mapper flushes on their own, and keeping the
+            # runners feedable lets a stall rescue re-run a wedged path's
+            # items on the other path (first result wins at the sink)
+            while delivered < seq:
+                got = sink.pop_wait(0.25)
+                yield from deliver(got)
+                if not got:
+                    self._rescue(sink, held, dev, host)
             dev.close()
             host.close()
-            for raw in sink.pop_blocking(seq):
-                name_o, ln_o = meta.pop(delivered)
-                delivered += 1
-                yield name_o, ln_o, raw
-            dev.join()
-            host.join()
-            self.host_reads = host.reads_done
-            self.device_reads = dev.reads_done
+            dev.join(self.JOIN_TIMEOUT_S)
+            host.join(self.JOIN_TIMEOUT_S)
+            # delivered-result attribution from the sink (a stall rescue
+            # can run an item on BOTH paths; only the winner counts)
+            self.host_reads = sink.wins.get("host", 0)
+            self.device_reads = sink.wins.get("device", 0)
         finally:
             dev.close()
             host.close()
+
+    #: rescue a path after this long with queued work and zero results
+    #: while the other path sits idle (first device batch behind a remote
+    #: link can legitimately take ~a minute of server-side compile — the
+    #: rescue just re-runs the stranded items on the idle path meanwhile;
+    #: pure waste-bounded duplication, never a correctness event)
+    STALL_RESCUE_S = 8.0
+    #: bounded end-of-stream join (see _Runner.join)
+    JOIN_TIMEOUT_S = 30.0
+
+    def _rescue(self, sink, held, a, b) -> None:
+        """If the path owning the next-to-deliver sequence has made no
+        progress for STALL_RESCUE_S and the other path is idle, re-submit
+        the stranded prefix to the idle path (duplicates are dropped at
+        the sink; both paths are exact, so results are identical)."""
+        now = time.monotonic()
+        for owner, other in ((a, b), (b, a)):
+            # a wedged runner never pops its fifo, so entries already
+            # delivered via an earlier rescue linger at its front — filter
+            # against the sink cursor instead of trusting the head
+            window = max(4096, 4 * self.BLOCK_READS)
+            seqs = [s for s in owner.stuck_prefix(window) if s >= sink.next]
+            if not seqs or seqs[0] != sink.next:
+                continue
+            with owner.lock:
+                stalled = now - owner.last_progress_t >= self.STALL_RESCUE_S
+            if not stalled or not other.idle():
+                return
+            block = [
+                (s, held[s][0], held[s][1])
+                for s in seqs[: self.BLOCK_READS]
+                if s in held
+            ]
+            if not block:
+                return
+            print(
+                f"# ntlink hybrid: {owner.name} path quiet for "
+                f"{self.STALL_RESCUE_S:.0f}s holding the stream's next "
+                f"result; re-running {len(block)} item(s) on the idle "
+                f"{other.name} path",
+                file=sys.stderr,
+            )
+            other.submit(block)
+            with owner.lock:
+                owner.last_progress_t = now  # rate-limit repeat rescues
+            return
 
     def _pick(self, dev, host, block, block_idx, force: bool = False):
         """Choose the path for this block, or None when everything is at

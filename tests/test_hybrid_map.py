@@ -214,3 +214,35 @@ def test_hybrid_e2e_scaffold_bytes(tmp_path):
         a = outs["auto"] / artifact
         b = outs["hybrid"] / artifact
         assert filecmp.cmp(a, b, shallow=False), artifact
+
+
+def test_stalled_path_rescued_by_idle_path():
+    """A path that wedges (e.g. first device batch stuck behind a remote
+    compile) must not strand the stream: after STALL_RESCUE_S the idle
+    path re-runs the stranded items and the stream completes."""
+    import threading
+
+    from ntlink_tpu.hybrid_map import HybridStream
+
+    class WedgedPath:
+        """Consumes input, never produces output."""
+
+        def map_stream_raw(self, named_codes):
+            for _ in named_codes:
+                threading.Event().wait(3600)  # block forever
+            return
+            yield  # pragma: no cover
+
+    class EchoPath:
+        def map_stream_raw(self, named_codes):
+            for name, codes in named_codes:
+                yield name, len(codes), ("echo", name)
+
+    sched = HybridStream(WedgedPath(), EchoPath(), host_frac=0.0)
+    sched.BLOCK_READS = 2
+    sched.STALL_RESCUE_S = 0.3
+    sched.JOIN_TIMEOUT_S = 1.0
+    items = [(f"x{i}", np.zeros(10, np.uint8)) for i in range(8)]
+    out = list(sched.stream(iter(items)))
+    assert [n for n, _, _ in out] == [n for n, _ in items]
+    assert all(raw == ("echo", name) for name, _, raw in out)
