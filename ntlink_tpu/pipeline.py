@@ -42,7 +42,10 @@ def _is_fresh(output: str, *inputs: str) -> bool:
 def ensure_contig_sketch_tsv(cfg: ScaffoldConfig, k: int, w: int, with_strand=True) -> str:
     """Sketch the target assembly to the reference's TSV artifact."""
     out = f"{cfg.target}.k{k}.w{w}.tsv"
-    if _is_fresh(out, cfg.target):
+    # size guard: a 0-byte TSV next to a non-empty target is a truncated
+    # artifact (pre-tmp-rename versions could leave one on SIGKILL), not
+    # a reusable sketch
+    if _is_fresh(out, cfg.target) and os.path.getsize(out) > 0:
         log("Reusing sketch", out)
         return out
     log("Sketching", cfg.target, f"(k={k}, w={w})")

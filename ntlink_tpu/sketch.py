@@ -245,14 +245,25 @@ def sketch_fasta_to_tsv(
     backend=None,
     threads: int = 1,
 ) -> None:
-    with open(out_path, "wb") as out_fh:
-        write_sketch_tsv(
-            out_fh,
-            ((rec.name, rec.seq) for rec in stream_fastx(fasta_path)),
-            k,
-            w,
-            with_strand=with_strand,
-            with_len=with_len,
-            backend=backend,
-            threads=threads,
-        )
+    # crash-safe artifact write (tmp + atomic rename): a killed run must
+    # not leave a truncated TSV that a later run's mtime-freshness check
+    # would silently reuse as a complete sketch
+    import os
+
+    tmp = f"{out_path}.tmp{os.getpid()}"
+    try:
+        with open(tmp, "wb") as out_fh:
+            write_sketch_tsv(
+                out_fh,
+                ((rec.name, rec.seq) for rec in stream_fastx(fasta_path)),
+                k,
+                w,
+                with_strand=with_strand,
+                with_len=with_len,
+                backend=backend,
+                threads=threads,
+            )
+        os.replace(tmp, out_path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)

@@ -2,6 +2,8 @@
 import os
 import shutil
 
+import pytest
+
 from ntlink_tpu.config import ScaffoldConfig
 from ntlink_tpu.pipeline import scaffold_stage
 
@@ -34,3 +36,39 @@ def test_second_run_reuses_artifacts(tmp_path, monkeypatch):
     os.utime("long_reads_1.fa")
     scaffold_stage(cfg)
     assert os.path.getmtime(artifacts[0]) > mtimes[artifacts[0]]
+
+
+def test_killed_sketch_leaves_no_reusable_artifact(tmp_path, monkeypatch):
+    """A run killed mid-sketch must not leave a TSV the next run's
+    freshness check would reuse (tmp+rename write), and a legacy 0-byte
+    TSV is treated as stale rather than loaded as an empty index."""
+    import os
+
+    from ntlink_tpu import pipeline
+    from ntlink_tpu.config import ScaffoldConfig
+    from ntlink_tpu.sketch import sketch_fasta_to_tsv
+
+    fa = tmp_path / "t.fa"
+    fa.write_text(">c1\n" + "ACGT" * 300 + "\n")
+    out = tmp_path / "t.tsv"
+
+    class Boom(RuntimeError):
+        pass
+
+    class ExplodingBackend:
+        def sketch_stream(self, named_seqs, k, w):
+            raise Boom()
+            yield  # pragma: no cover
+
+    with pytest.raises(Boom):
+        sketch_fasta_to_tsv(str(fa), str(out), 16, 10,
+                            backend=ExplodingBackend())
+    assert not out.exists()
+    assert not any(p.name.startswith("t.tsv.tmp") for p in tmp_path.iterdir())
+
+    # legacy truncated artifact: fresh mtime but zero bytes -> re-sketched
+    cfg = ScaffoldConfig(target=str(fa), reads=[], k=16, w=10, backend="numpy")
+    stale = tmp_path / "t.fa.k16.w10.tsv"
+    stale.write_bytes(b"")
+    got = pipeline.ensure_contig_sketch_tsv(cfg, 16, 10)
+    assert os.path.getsize(got) > 0
