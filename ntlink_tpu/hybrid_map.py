@@ -45,7 +45,15 @@ BLOCK_READS = 1024    # assignment quantum: one full device bucket at the
                       # as full-height batches instead of idle-flush dribbles
 BLOCK_BASES = 16_000_000  # bases cap on a block (ultra-long-read streams)
 SKEW_WARN = 100_000   # undelivered-result warning threshold
-BUF_CAP = 200_000     # undelivered results: stop feeding beyond this
+BUF_CAP = 50_000      # undelivered results: stop feeding beyond this.
+#                       Sized down from 200k when the scheduler started
+#                       retaining in-flight payloads for stall rescue: a
+#                       long device stall can skew the buffer to the cap,
+#                       and 200k x 12 kb reads held ~2.4 GB of codes on
+#                       top of the result payloads (19 GiB peak RSS seen
+#                       at the 3 Gb stress); 50k bounds that at ~600 MB
+#                       with no measurable throughput cost (the ready
+#                       prefix drains continuously)
 MAX_LAG_S = 5.0       # per-path in-flight cap: rate * this many seconds
 
 
