@@ -75,6 +75,11 @@ class _Runner:
         self._span_start = 0.0
         self._span_bases = 0
         self.reads_done = 0
+        #: consecutive rescues with zero deliveries in between — a path
+        #: that keeps getting rescued without ever delivering is wedged,
+        #: and the re-trigger delay drops so the backlog drains at rescue
+        #: bandwidth instead of one trigger per STALL_RESCUE_S
+        self.rescues_since_progress = 0
         #: stall clock: last time this path delivered a result OR went
         #: from idle to fed (so warmup stalls are measured from the feed)
         self.last_progress_t = time.monotonic()
@@ -125,13 +130,20 @@ class _Runner:
         with self.lock:
             return self.pending_bases == 0
 
-    def stuck_prefix(self, limit: int):
-        """Snapshot of this path's earliest undelivered sequence numbers
-        (for stall rescue)."""
+    def stuck_prefix(self, limit: int, nxt: int = 0):
+        """Snapshot of this path's earliest UNDELIVERED (>= nxt) sequence
+        numbers, for stall rescue. The filter runs before the window: a
+        wedged runner never pops its fifo, so after a few rescues the
+        fifo's front is entirely already-delivered entries and a
+        window-then-filter order would return [] forever (the fifo itself
+        must not be popped — the recovering mapper's 1:1 popleft pairing
+        depends on it)."""
         import itertools
 
         with self.lock:
-            return list(itertools.islice(self.fifo, limit))
+            return list(
+                itertools.islice((s for s in self.fifo if s >= nxt), limit)
+            )
 
     def eligible(self, n_bases: int) -> bool:
         """Bounded in-flight: never queue more than ~MAX_LAG_S of work at
@@ -195,6 +207,7 @@ class _Runner:
                         self.pending_bases -= ln
                         self._span_bases += ln
                         self.reads_done += 1
+                        self.rescues_since_progress = 0
                         self.last_progress_t = time.monotonic()
                         dt = time.perf_counter() - self._span_start
                         if dt > 0.05 and self._span_bases > 0:
@@ -371,6 +384,16 @@ class HybridStream:
     #: rescue just re-runs the stranded items on the idle path meanwhile;
     #: pure waste-bounded duplication, never a correctness event)
     STALL_RESCUE_S = 8.0
+    #: once a path has been rescued and STILL delivered nothing, it is
+    #: known-wedged: re-trigger this fast so the backlog drains at the
+    #: healthy path's rate rather than one rescue per STALL_RESCUE_S
+    STALL_RETRIGGER_S = 1.0
+    #: blocks re-run per rescue trigger (a wedged path can hold
+    #: rate * MAX_LAG_S of in-flight work — single-block rescues would
+    #: drain that at one block per trigger)
+    RESCUE_BLOCKS = 4
+    #: minimum undelivered-prefix snapshot size per rescue scan
+    RESCUE_WINDOW_MIN = 4096
     #: bounded end-of-stream join (see _Runner.join)
     JOIN_TIMEOUT_S = 30.0
 
@@ -381,33 +404,38 @@ class HybridStream:
         the sink; both paths are exact, so results are identical)."""
         now = time.monotonic()
         for owner, other in ((a, b), (b, a)):
-            # a wedged runner never pops its fifo, so entries already
-            # delivered via an earlier rescue linger at its front — filter
-            # against the sink cursor instead of trusting the head
-            window = max(4096, 4 * self.BLOCK_READS)
-            seqs = [s for s in owner.stuck_prefix(window) if s >= sink.next]
+            # windowed over UNDELIVERED entries only (see stuck_prefix)
+            window = max(
+                self.RESCUE_WINDOW_MIN, self.RESCUE_BLOCKS * self.BLOCK_READS
+            )
+            seqs = owner.stuck_prefix(window, nxt=sink.next)
             if not seqs or seqs[0] != sink.next:
                 continue
             with owner.lock:
-                stalled = now - owner.last_progress_t >= self.STALL_RESCUE_S
+                wedged = owner.rescues_since_progress > 0
+                delay = (
+                    self.STALL_RETRIGGER_S if wedged else self.STALL_RESCUE_S
+                )
+                stalled = now - owner.last_progress_t >= delay
             if not stalled or not other.idle():
                 return
             block = [
                 (s, held[s][0], held[s][1])
-                for s in seqs[: self.BLOCK_READS]
+                for s in seqs[: self.RESCUE_BLOCKS * self.BLOCK_READS]
                 if s in held
             ]
             if not block:
                 return
             print(
                 f"# ntlink hybrid: {owner.name} path quiet for "
-                f"{self.STALL_RESCUE_S:.0f}s holding the stream's next "
-                f"result; re-running {len(block)} item(s) on the idle "
+                f"{now - owner.last_progress_t:.0f}s holding the stream's "
+                f"next result; re-running {len(block)} item(s) on the idle "
                 f"{other.name} path",
                 file=sys.stderr,
             )
             other.submit(block)
             with owner.lock:
+                owner.rescues_since_progress += 1
                 owner.last_progress_t = now  # rate-limit repeat rescues
             return
 

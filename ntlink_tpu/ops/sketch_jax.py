@@ -444,6 +444,10 @@ class JaxSketcher:
 
         native = fastx_module()
         step = _sketch_step()
+        # per-stream fallback accounting: HybridSketcher restarts this
+        # stream on every idle flush, so the summary must report THIS
+        # stream's delta, not the instance-cumulative count
+        fallbacks_at_start = self.host_fallbacks
 
         # same feeder/drainer pipeline as device_map.map_stream_raw: the
         # feeder owns every device call (per-dispatch link round trips
@@ -672,11 +676,12 @@ class JaxSketcher:
             yield from flush_all()
         finally:
             pipe.close()
-            if self.host_fallbacks:
+            stream_fallbacks = self.host_fallbacks - fallbacks_at_start
+            if stream_fallbacks:
                 import sys
 
                 print(
-                    f"# ntlink sketch: {self.host_fallbacks} row(s) took "
+                    f"# ntlink sketch: {stream_fallbacks} row(s) took "
                     f"the exact host fallback path (sub-k, oversized with "
                     f"N, or minimizer-slot overflow)",
                     file=sys.stderr,

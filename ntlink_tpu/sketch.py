@@ -27,7 +27,9 @@ def get_backend(name: str = "auto", threads: int = 1):
 
         dev = sketch_jax.JaxSketcher()
     except Exception:  # pragma: no cover - jax unavailable
-        if name == "jax":
+        if name in ("jax", "hybrid"):
+            # an explicitly pinned backend must not silently run as
+            # something else — `auto` degrades, a pinned name raises
             raise
         return None
     if name == "hybrid" or (name == "auto" and threads > 1):
@@ -39,6 +41,12 @@ def get_backend(name: str = "auto", threads: int = 1):
             # `auto` choice whenever the C sketcher is built and the
             # config grants host threads
             return HybridSketcher(dev, threads=max(1, threads))
+        if name == "hybrid":
+            raise RuntimeError(
+                "backend=hybrid requires the native C sketch module "
+                "(ntlink_tpu.native.sketch) — build it or use "
+                "backend=jax/auto"
+            )
     return dev
 
 

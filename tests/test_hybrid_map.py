@@ -246,3 +246,50 @@ def test_stalled_path_rescued_by_idle_path():
     out = list(sched.stream(iter(items)))
     assert [n for n, _, _ in out] == [n for n, _ in items]
     assert all(raw == ("echo", name) for name, _, raw in out)
+
+
+def test_rescue_survives_stale_fifo_window():
+    """Regression (round-4 advisor, hybrid_map.py stall rescue): a wedged
+    runner never pops its fifo, so after enough rescued blocks the first
+    `window` fifo entries are all already-delivered; the snapshot must
+    filter BEFORE windowing or rescue turns into a permanent no-op and
+    the final drain spins forever on any backlog > window."""
+    import threading
+
+    from ntlink_tpu.hybrid_map import HybridStream
+
+    class WedgedPath:
+        def map_stream_raw(self, named_codes):
+            for _ in named_codes:
+                threading.Event().wait(3600)
+            return
+            yield  # pragma: no cover
+
+    class EchoPath:
+        def map_stream_raw(self, named_codes):
+            for name, codes in named_codes:
+                yield name, len(codes), ("echo", name)
+
+    # host_frac=0.0 routes EVERY block to the wedged path; the snapshot
+    # window (4 items) is far smaller than the backlog (32), so several
+    # rescues in, the unfiltered window would be 100% stale entries
+    sched = HybridStream(WedgedPath(), EchoPath(), host_frac=0.0)
+    sched.BLOCK_READS = 2
+    sched.RESCUE_BLOCKS = 1
+    sched.RESCUE_WINDOW_MIN = 4
+    sched.STALL_RESCUE_S = 0.2
+    sched.STALL_RETRIGGER_S = 0.05
+    sched.JOIN_TIMEOUT_S = 1.0
+    items = [(f"x{i}", np.zeros(10, np.uint8)) for i in range(32)]
+    done = {}
+
+    def run():
+        done["out"] = list(sched.stream(iter(items)))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=30.0)
+    assert not t.is_alive(), "hybrid stream hung on a stale rescue window"
+    out = done["out"]
+    assert [n for n, _, _ in out] == [n for n, _ in items]
+    assert all(raw == ("echo", name) for name, _, raw in out)
