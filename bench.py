@@ -435,8 +435,8 @@ def device_run() -> None:
     # bad weather (observed <0.1 MB/s) a single run takes minutes — stop
     # repeating once the budget is clearly better spent reporting what we
     # have than timing out the whole attempt.
-    dm.wire_stats["h2d"] = dm.wire_stats["d2h"] = 0
-    best_t, tally, dev_runs = None, None, 0
+    dm.wire_stats.update(h2d=0, d2h=0, h2d_s=0.0, d2h_s=0.0)
+    best_t, tally, dev_runs, tot_t = None, None, 0, 0.0
     for _ in range(4):
         t0 = time.time()
         tally = pipeline.map_reads(
@@ -445,6 +445,7 @@ def device_run() -> None:
         )
         dt = time.time() - t0
         dev_runs += 1
+        tot_t += dt
         best_t = dt if best_t is None else min(best_t, dt)
         if dt > 90:
             print(f"# slow link ({dt:.0f}s/run); stopping early",
@@ -460,23 +461,45 @@ def device_run() -> None:
         file=sys.stderr,
     )
 
-    # wire-ceiling analysis from ACTUAL bytes moved (mapper byte counters,
-    # not estimates): the ceiling is the reads/s the measured link rates
-    # would permit if the link were the only cost, with the two directions
-    # serialized (the tunnel is one TCP stream).
+    # wire analysis from the run's OWN transfers: counted bytes AND the
+    # seconds each stream thread actually spent blocked in them (feeder
+    # H2D puts, drainer meta/flat waits) — no one-shot probes, whose
+    # single readings mis-stated the r04 ceiling by 4x. The fraction is
+    # in (0, 1] by construction: each direction's blocked seconds are
+    # measured on one thread so cannot exceed the wall; if the two
+    # directions' sum exceeds the wall they overlapped (parallel-capable
+    # link), and the binding fraction is the larger direction.
     wire = {}
     try:
         h2d_b = dm.wire_stats["h2d"] / (dev_runs * n_reads)
         d2h_b = dm.wire_stats["d2h"] / (dev_runs * n_reads)
-        r_h2d = link.get("link_mbps_h2d", 0.0) * 1e6
-        r_d2h = link.get("link_mbps_d2h", 0.0) * 1e6
-        if r_h2d > 0 and r_d2h > 0:
-            ceiling = 1.0 / (h2d_b / r_h2d + d2h_b / r_d2h)
+        h2d_s = dm.wire_stats["h2d_s"]
+        d2h_s = dm.wire_stats["d2h_s"]
+        if tot_t > 0 and (h2d_s + d2h_s) > 0:
+            f_h2d = min(1.0, h2d_s / tot_t)
+            f_d2h = min(1.0, d2h_s / tot_t)
+            frac = f_h2d + f_d2h
+            if frac > 1.0:  # directions overlapped: link is parallel
+                frac = max(f_h2d, f_d2h)
+            assert 0.0 < frac <= 1.0, frac
             wire = {
                 "wire_bytes_per_read_h2d": int(h2d_b),
                 "wire_bytes_per_read_d2h": int(d2h_b),
-                "wire_ceiling_reads_per_s": round(ceiling, 1),
-                "wire_bound_fraction": round((n_reads / dev_t) / ceiling, 2),
+                # observed effective link rates from the counted
+                # transfers' own timings (MB/s)
+                "wire_mbps_h2d_observed": round(
+                    dm.wire_stats["h2d"] / max(h2d_s, 1e-9) / 1e6, 1
+                ),
+                "wire_mbps_d2h_observed": round(
+                    dm.wire_stats["d2h"] / max(d2h_s, 1e-9) / 1e6, 1
+                ),
+                "wire_blocked_s_per_run_h2d": round(h2d_s / dev_runs, 3),
+                "wire_blocked_s_per_run_d2h": round(d2h_s / dev_runs, 3),
+                # reads/s if wire-blocked time were the only cost
+                "wire_ceiling_reads_per_s": round(
+                    n_reads * dev_runs / (h2d_s + d2h_s), 1
+                ),
+                "wire_bound_fraction": round(frac, 3),
             }
             print(f"# wire ceiling: {wire}", file=sys.stderr)
     except Exception as exc:

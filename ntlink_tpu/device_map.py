@@ -54,11 +54,11 @@ def _single_device_step():
     @functools.partial(
         jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
     )
-    def jstep(packed, lengths, t_rows, t_off,
+    def jstep(packed, lengths, t_bkt, t_off,
               k, w, L_, mask, probes, anchors, pallas_flag, with_hashes,
               pack_gpos, nmask=None):
         return mapping_step_packed(
-            packed, lengths, t_rows,
+            packed, lengths, t_bkt,
             k, w, L_, mask, probes, anchors, use_pallas=pallas_flag,
             with_hashes=with_hashes, nmask=nmask,
             t_off=t_off if pack_gpos else None,
@@ -114,9 +114,13 @@ class DeviceMapper:
         # overflow) and re-mapped on the single-threaded exact host path
         self.host_fallbacks = 0
         # actual bytes moved over the host<->device link (packed codes +
-        # masks + lengths up; meta + flat anchor payload down) — powers the
-        # honest wire-ceiling analysis in bench.py
-        self.wire_stats = {"h2d": 0, "d2h": 0}
+        # masks + lengths up; meta + flat anchor payload down) AND the
+        # seconds each stream thread actually spent blocked in those
+        # transfers ("h2d_s" on the feeder's puts, "d2h_s" on the
+        # drainer's meta/flat waits) — powers the honest wire-ceiling
+        # analysis in bench.py (rates come from the run's own transfers,
+        # never from a one-shot probe)
+        self.wire_stats = {"h2d": 0, "d2h": 0, "h2d_s": 0.0, "d2h_s": 0.0}
 
     def _slots_for(self, L: int) -> int:
         """Minimizer slot budget for padded length L (density ~2/(w+1))."""
@@ -153,7 +157,7 @@ class DeviceMapper:
             pack = d.t_off is not None
             t_off = d.t_off if pack else jnp.zeros(1, jnp.uint32)
             step = lambda packed, lengths, didx, nmask=None: jstep(
-                packed, lengths, d.t_rows, t_off,
+                packed, lengths, d.t_bkt, t_off,
                 self.k, self.w, L, d.mask, d.max_probes, key[1],
                 (pmode if packed.shape[0] % 8 == 0 else False)
                 if nmask is None else False,
@@ -353,8 +357,10 @@ class DeviceMapper:
                 packed.nbytes + lengths.nbytes
                 + (nmask.nbytes if nmask is not None else 0)
             )
+            tw = time_mod.perf_counter()
             dev_packed = jnp.asarray(packed)
             dev_lengths = jnp.asarray(lengths)
+            self.wire_stats["h2d_s"] += time_mod.perf_counter() - tw
             if timing_on:
                 _t("h2d_put", t0)
                 t0 = time_mod.perf_counter()
@@ -382,7 +388,9 @@ class DeviceMapper:
         def drain(out, sliced, pad, rows, row_codes, lengths) -> None:
             B = int(lengths.shape[0])
             t0 = time_mod.perf_counter() if timing_on else 0.0
+            tw = time_mod.perf_counter()
             meta = np.asarray(out["meta"])
+            self.wire_stats["d2h_s"] += time_mod.perf_counter() - tw
             if timing_on:
                 _t("drain_meta_wait", t0)
             count, n_mins = meta[:B], meta[B:]

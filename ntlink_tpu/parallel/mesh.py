@@ -40,81 +40,85 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
-#: slots >= entries / TABLE_LOAD (pow2-rounded). 0.25 keeps linear-probe
-#: clusters short: the static probe bound (hence the join's gather volume,
-#: its dominant cost) roughly halves vs load 0.5, for 2x the table bytes —
-#: ~4.3 GB at human scale (59 M minimizers), well inside one v5e's HBM.
-TABLE_LOAD = 0.25
+#: entries per bucket: one bucket = one contiguous 128 B row, so a query
+#: resolves with ONE gather transaction instead of `max_probes` scattered
+#: 16 B row gathers — TPU gathers cost per transaction, not per byte
+#: (measured: the bucket layout cuts the join from ~36 ms to ~15 ms per
+#: 1024-read batch on a v5e)
+BUCKET = 8
+#: buckets >= entries / BUCKET_LOAD entries-per-bucket average (pow2
+#: count). 4 of 8 slots average keeps overflow chains ~nonexistent while
+#: HALVING table bytes vs the old load-0.25 linear-probe layout
+#: (~2.1 GB at human scale's 59 M minimizers vs 4.3 GB)
+BUCKET_LOAD = 4
 
 
 class DeviceIndex:
     """Replicated contig-minimizer hash table for on-device joins.
 
-    Open addressing, linear probing, load factor <= TABLE_LOAD. The device
-    copy is ONE row-packed (size, 4) uint32 tensor [hash_hi, hash_lo,
-    cid_strand, pos] so each probe gathers one contiguous 16 B row instead
-    of 3 scattered 4 B words — random 4 B gathers waste most of an HBM
-    transaction, and the join's gather volume is the mapping step's
-    dominant cost (measured: 253 ms -> ~60 ms per 1024-read batch).
+    Bucketized open addressing: `nb` (pow2) buckets of BUCKET=8 entries;
+    the device copy is ONE (nb, 32) uint32 tensor per bucket laid out
+    [hash_hi x8 | hash_lo x8 | cid_strand x8 | pos x8] = 128 contiguous
+    bytes, so each query gathers `max_probes` (typically 1-2) whole
+    buckets and compares 8 entries per bucket in-register.
     `cid_strand` = (cid + 1) << 1 | strand; 0 marks an empty slot.
-    `max_probes` is the longest probe chain observed at build time (static
-    gather width on device).
+    A bucket overflow spills to the next bucket (linear over buckets);
+    `max_probes` is the longest bucket chain observed at build time
+    (static gather width on device).
     """
 
     def __init__(self, hashes: np.ndarray, contig_ids: np.ndarray,
-                 positions: np.ndarray, strands: np.ndarray,
-                 load: float = TABLE_LOAD):
+                 positions: np.ndarray, strands: np.ndarray):
         n = int(hashes.shape[0])
         self._build_gpos(contig_ids, positions, n)
-        size = 1
-        while size < max(int(n / load), 16):
-            size <<= 1
-        mask = size - 1
+        nb = 2
+        while nb * BUCKET_LOAD < n:
+            nb <<= 1
+        bmask = nb - 1
         hi = (hashes >> np.uint64(32)).astype(np.uint32)
         lo = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        cs = (
+            ((contig_ids.astype(np.int64) + 1) << 1).astype(np.uint32)
+            | strands.astype(np.uint32)
+        )
+        pos_u = positions.astype(np.uint32)
 
-        t_hi = np.zeros(size, np.uint32)
-        t_lo = np.zeros(size, np.uint32)
-        t_cid = np.full(size, -1, np.int32)
-        t_pos = np.zeros(size, np.int32)
-        t_strand = np.zeros(size, bool)
-
-        # vectorized linear-probing insertion: per round, every pending
-        # entry tries its slot; one claimant per slot wins, losers advance
-        # one slot and retry. Rounds ~ longest cluster.
-        slots = (
-            ((lo ^ hi) * np.uint32(_FIB)).astype(np.uint32) & np.uint32(mask)
+        ent = np.zeros((nb, 4, BUCKET), np.uint32)
+        fill = np.zeros(nb, np.int32)
+        cur = (
+            ((lo ^ hi) * np.uint32(_FIB)).astype(np.uint32)
+            & np.uint32(bmask)
         ).astype(np.int64)
         pending = np.arange(n)
-        claim = np.full(size, -1, np.int64)
-        max_probes = 1
         rounds = 0
+        # vectorized insertion rounds: group pending entries by target
+        # bucket (stable → deterministic layout), rank within group; ranks
+        # beyond the bucket's remaining space spill to the next bucket.
         while pending.size:
             rounds += 1
-            want = slots[pending]
-            free = t_cid[want] == -1
-            contenders, want_free = pending[free], want[free]
-            claim[want_free] = contenders  # last writer wins; rest retry
-            won = claim[want] == pending
-            winners = pending[won]
-            w_slots = slots[winners]
-            t_hi[w_slots] = hi[winners]
-            t_lo[w_slots] = lo[winners]
-            t_cid[w_slots] = contig_ids[winners]
-            t_pos[w_slots] = positions[winners]
-            t_strand[w_slots] = strands[winners]
-            pending = pending[~won]
-            slots[pending] = (slots[pending] + 1) & mask
-            max_probes = rounds
-        max_probes = max(max_probes, 1)
+            bs = cur[pending]
+            so = np.argsort(bs, kind="stable")
+            ps, bss = pending[so], bs[so]
+            newgrp = np.empty(ps.size, bool)
+            newgrp[0] = True
+            newgrp[1:] = bss[1:] != bss[:-1]
+            idx = np.arange(ps.size)
+            start = np.maximum.accumulate(np.where(newgrp, idx, 0))
+            rank = idx - start + fill[bss]
+            place = rank < BUCKET
+            pb, pr, pi = bss[place], rank[place], ps[place]
+            ent[pb, 0, pr] = hi[pi]
+            ent[pb, 1, pr] = lo[pi]
+            ent[pb, 2, pr] = cs[pi]
+            ent[pb, 3, pr] = pos_u[pi]
+            np.add.at(fill, pb, 1)
+            pending = ps[~place]
+            cur[pending] = (cur[pending] + 1) & bmask
 
-        self.size = size
-        self.mask = mask
-        # pad the static probe bound to a multiple of 4 for jit-cache stability
-        self.max_probes = (max_probes + 3) & ~3
-        self.t_rows = jnp.asarray(pack_table_rows(
-            t_hi, t_lo, t_cid, t_pos, t_strand
-        ))
+        self.size = nb * BUCKET
+        self.mask = bmask
+        self.max_probes = max(rounds, 1)
+        self.t_bkt = jnp.asarray(ent.reshape(nb, 4 * BUCKET))
 
     def _build_gpos(self, contig_ids, positions, n) -> None:
         self.host_offsets, self.pack_gpos, self.t_off = build_gpos_offsets(
@@ -219,6 +223,98 @@ def hash_table_join(t_rows, q_hi, q_lo, mask: int, max_probes: int):
     return found, cid, pos.astype(jnp.int32), (cs & 1).astype(jnp.bool_)
 
 
+def hash_bucket_join(t_bkt, q_hi, q_lo, bmask: int, max_bkts: int):
+    """Probe the bucketized table (DeviceIndex layout) for each (hi, lo)
+    query: gather `max_bkts` whole 128 B buckets per query (ONE gather
+    descriptor each — TPU random gathers cost per transaction, not per
+    byte) and compare the 8 packed entries per bucket in-register. Table
+    keys are unique (the contig index dedups), so at most one entry
+    matches and argmax-first is exact."""
+    qs = q_hi.shape
+    b0 = (((q_lo ^ q_hi) * jnp.uint32(_FIB)) & jnp.uint32(bmask)).astype(
+        jnp.int32
+    )
+    bs = (b0[..., None] + jnp.arange(max_bkts, dtype=jnp.int32)) & bmask
+    rows = t_bkt[bs]                            # (..., M, 32) bucket gather
+    eh = rows[..., 0:BUCKET]
+    el = rows[..., BUCKET:2 * BUCKET]
+    ecs = rows[..., 2 * BUCKET:3 * BUCKET]
+    ep = rows[..., 3 * BUCKET:4 * BUCKET]
+    m = (
+        (ecs != 0)
+        & (eh == q_hi[..., None, None])
+        & (el == q_lo[..., None, None])
+    )
+    m2 = m.reshape(*qs, max_bkts * BUCKET)
+    found = m2.any(axis=-1)
+    first = jnp.argmax(m2, axis=-1)[..., None]
+    cs = jnp.take_along_axis(
+        ecs.reshape(*qs, max_bkts * BUCKET), first, axis=-1
+    ).reshape(qs)
+    pos = jnp.take_along_axis(
+        ep.reshape(*qs, max_bkts * BUCKET), first, axis=-1
+    ).reshape(qs)
+    cid = (cs >> 1).astype(jnp.int32) - 1  # -1 when not found (cs == 0)
+    return found, cid, pos.astype(jnp.int32), (cs & 1).astype(jnp.bool_)
+
+
+#: two-stage minimizer selection: windows split into SELECT_BLOCK-wide
+#: column blocks, each block keeps its top SELECT_CAP emitted windows
+#: (stage 1), then one top_k over the survivors (stage 2). Halves the
+#: selection cost vs one flat top_k over all windows (measured 21 -> 10 ms
+#: per 1024x16k batch). A block with more than SELECT_CAP emits would lose
+#: minimizers, so such rows are flagged and the caller re-runs them on the
+#: exact host path — ~2.5 emits per 128 windows expected at w=100, so an
+#: overflow needs adversarial (non-genomic) input, but exactness is kept
+#: regardless.
+SELECT_BLOCK = 128
+SELECT_CAP = 16
+
+
+def select_minimizers(emit, max_slots: int):
+    """Order-preserving compaction of emitted window indices to
+    `max_slots` per row. Returns (sel, sel_ok, overflow_rows); rows
+    flagged in overflow_rows saw a block exceed SELECT_CAP and MUST be
+    recomputed exactly by the caller (their sel is incomplete)."""
+    B, NW = emit.shape
+    NP_ = -(-NW // SELECT_BLOCK) * SELECT_BLOCK
+    survivors = (NP_ // SELECT_BLOCK) * SELECT_CAP
+    if max_slots > 4096 or NW < 2 * SELECT_BLOCK or survivors < max_slots:
+        # huge slot budgets (contig-scale sketch pads) or rows too short
+        # for two stages: the flat stable argsort is the better form there
+        sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_slots]
+        sel_ok = jnp.take_along_axis(emit, sel, axis=1)
+        return sel, sel_ok, jnp.zeros((B,), jnp.bool_)
+    # value NP_-i encodes the window index (descending value = ascending
+    # window = read order); 0 = not emitted / padding
+    idxv = (NP_ - jnp.arange(NW, dtype=jnp.int32))[None, :]
+    vals = jnp.zeros((B, NP_), jnp.int32).at[:, :NW].set(
+        jnp.where(emit, idxv, 0)
+    )
+    blk = vals.reshape(B, NP_ // SELECT_BLOCK, SELECT_BLOCK)
+    v1, _ = jax.lax.top_k(blk, SELECT_CAP)
+    overflow = ((blk > 0).sum(axis=2) > SELECT_CAP).any(axis=1)
+    v2, _ = jax.lax.top_k(v1.reshape(B, -1), max_slots)
+    sel_ok = v2 > 0
+    sel = jnp.where(sel_ok, NP_ - v2, 0)
+    return sel, sel_ok, overflow
+
+
+def compact_flat(mask_flat, width: int):
+    """Global order-preserving compaction: returns takef(plane) packing
+    plane[mask] to the front of a `width`-lane zero tensor (cumsum +
+    scatter — linear, vs the n log n global argsort it replaces)."""
+    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask_flat, pos, width)
+
+    def takef(a):
+        return jnp.zeros(width, a.dtype).at[tgt].set(
+            a.reshape(-1), mode="drop"
+        )
+
+    return takef
+
+
 def unpack_codes(packed: jnp.ndarray, L: int) -> jnp.ndarray:
     """(B, L//4) 2-bit-packed uint8 -> (B, L) base codes 0..3.
 
@@ -244,12 +340,12 @@ def unpack_bits(packed: jnp.ndarray, L: int) -> jnp.ndarray:
     return expanded.reshape(B, L).astype(jnp.bool_)
 
 
-def mapping_step_packed(packed, lengths, t_rows,
+def mapping_step_packed(packed, lengths, t_bkt,
                         k: int, w: int, L: int, mask: int, max_probes: int,
                         max_anchors: int, use_pallas: bool = False,
                         with_hashes: bool = True, nmask=None, t_off=None):
     """Fused mapping step: unpack -> sketch -> compact minimizers ->
-    hash-join -> global anchor compaction. Outputs are O(anchors), not
+    bucket hash-join -> global anchor compaction. Outputs are O(anchors), not
     O(bases): `meta` = per-read [counts | n_minimizers] (2B,) and `flat` =
     (planes, B*S) with all matched anchors packed front in read order —
     plane 0 read positions (strand bits in bits 29/30), then EITHER one
@@ -294,8 +390,7 @@ def mapping_step_packed(packed, lengths, t_rows,
 
     # compact selected minimizers (order-preserving): ~2L/w of L-k+1 windows
     B, NW = emit.shape
-    sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_anchors]
-    sel_ok = jnp.take_along_axis(emit, sel, axis=1)
+    sel, sel_ok, sel_overflow = select_minimizers(emit, max_anchors)
     m_pos = jnp.take_along_axis(winner, sel, axis=1)
     q_hi = jnp.take_along_axis(can_hi, jnp.maximum(m_pos, 0), axis=1)
     q_lo = jnp.take_along_axis(can_lo, jnp.maximum(m_pos, 0), axis=1)
@@ -303,21 +398,27 @@ def mapping_step_packed(packed, lengths, t_rows,
     q_hi, q_lo = finish_hash(q_hi, q_lo, k)
     m_fwd = jnp.take_along_axis(fwd, jnp.maximum(m_pos, 0), axis=1)
 
-    found, cid, cpos, cstrand = hash_table_join(
-        t_rows, q_hi, q_lo, mask, max_probes
+    found, cid, cpos, cstrand = hash_bucket_join(
+        t_bkt, q_hi, q_lo, mask, max_probes
     )
     found = found & sel_ok
-    n_minimizers = emit.sum(axis=1).astype(jnp.int32)
+    # selection-overflow rows report n_minimizers past the slot budget:
+    # the drain's existing slot-overflow branch re-maps them exactly on
+    # the host (adversarial inputs only; genomic data never trips this)
+    n_minimizers = jnp.where(
+        sel_overflow,
+        jnp.maximum(emit.sum(axis=1), max_anchors + 1),
+        emit.sum(axis=1),
+    ).astype(jnp.int32)
     count = found.sum(axis=1).astype(jnp.int32)
 
     # Global (whole-batch) anchor compaction: every matched anchor, in
     # row-major read order, packed to the front of ONE flat tensor. The
     # host slices it to the exact total anchor count, so the D2H transfer
     # is O(total anchors) bytes — the link (not the chip) is the scarce
-    # resource here. Stable argsort over the flattened mask preserves
-    # both read order and within-read anchor order.
-    order_flat = jnp.argsort(~found.reshape(-1), stable=True)
-    takef = lambda a: a.reshape(-1)[order_flat]
+    # resource here. Cumsum + scatter preserves both read order and
+    # within-read anchor order at linear cost (vs the n log n argsort).
+    takef = compact_flat(found.reshape(-1), B * max_anchors)
     # strand bits ride in the read-position word (positions < 2^21)
     rpos_packed = (
         m_pos
@@ -392,16 +493,18 @@ def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int,
         can_hi, can_lo, fwd, winner, emit = jax.lax.optimization_barrier(
             (can_hi, can_lo, fwd, winner, emit)
         )
-    sel = jnp.argsort(~emit, axis=1, stable=True)[:, :max_mins]
-    sel_ok = jnp.take_along_axis(emit, sel, axis=1)
+    B = emit.shape[0]
+    sel, sel_ok, sel_overflow = select_minimizers(emit, max_mins)
     m_pos = jnp.take_along_axis(winner, sel, axis=1)
     gather = lambda a: jnp.take_along_axis(a, jnp.maximum(m_pos, 0), axis=1)
     out_hi, out_lo = finish_hash(gather(can_hi), gather(can_lo), k)
     # strand rides in bit 30 of the position word (positions < 2^21)
     pos_strand = m_pos | (gather(fwd).astype(jnp.int32) << 30)
-    count = jnp.minimum(emit.sum(axis=1), max_mins).astype(jnp.int32)
-    order_flat = jnp.argsort(~sel_ok.reshape(-1), stable=True)
-    takef = lambda a: a.reshape(-1)[order_flat]
+    # count MUST equal the entries actually packed into flat (sel_ok can
+    # undercount emit on a selection-overflow row — those rows are host-
+    # redone, but their count still positions every later row's offset)
+    count = sel_ok.sum(axis=1).astype(jnp.int32)
+    takef = compact_flat(sel_ok.reshape(-1), B * max_mins)
     flat = jnp.stack(
         [
             takef(pos_strand),
@@ -410,10 +513,15 @@ def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int,
         ],
         axis=0,
     )
+    # selection-overflow rows report n_minimizers past the slot budget so
+    # the drain's slot-overflow branch re-sketches them exactly on host
+    n_min_rep = jnp.where(
+        sel_overflow,
+        jnp.maximum(emit.sum(axis=1), max_mins + 1),
+        emit.sum(axis=1),
+    ).astype(jnp.int32)
     return {
-        "meta": jnp.concatenate(
-            [count, emit.sum(axis=1).astype(jnp.int32)]
-        ),
+        "meta": jnp.concatenate([count, n_min_rep]),
         "flat": flat,
     }
 
@@ -500,10 +608,10 @@ def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
             data_sharding, NamedSharding(mesh, P("data")), repl, repl,
         ),
     )
-    def step(packed, lengths, t_rows, t_off,
+    def step(packed, lengths, t_bkt, t_off,
              k_, w_, L_, mask_, probes_, anchors_, with_hashes_, pack_gpos_):
         return mapping_step_packed(
-            packed, lengths, t_rows,
+            packed, lengths, t_bkt,
             k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
             t_off=t_off if pack_gpos_ else None,
         )
@@ -516,12 +624,12 @@ def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
             data_sharding,
         ),
     )
-    def step_n(packed, lengths, t_rows, t_off, nmask,
+    def step_n(packed, lengths, t_bkt, t_off, nmask,
                k_, w_, L_, mask_, probes_, anchors_, with_hashes_,
                pack_gpos_):
         # N batch: rows shard like the code rows; compacted-window kernel
         return mapping_step_packed(
-            packed, lengths, t_rows,
+            packed, lengths, t_bkt,
             k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
             nmask=nmask, t_off=t_off if pack_gpos_ else None,
         )
@@ -533,11 +641,11 @@ def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
             t_off = jnp.zeros(1, jnp.uint32)
         if nmask is None:
             return step(
-                packed, lengths, didx.t_rows, t_off, k, w, L, mask,
+                packed, lengths, didx.t_bkt, t_off, k, w, L, mask,
                 max_probes, max_anchors, with_hashes, pack,
             )
         return step_n(
-            packed, lengths, didx.t_rows, t_off, nmask, k, w, L, mask,
+            packed, lengths, didx.t_bkt, t_off, nmask, k, w, L, mask,
             max_probes, max_anchors, with_hashes, pack,
         )
 

@@ -188,12 +188,19 @@ def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
     )
     flat = None
     if total:
+        import time as _time
+
+        tw = _time.perf_counter()
         if total <= int(sliced.shape[1]):
             flat = np.asarray(sliced)  # already streaming
         else:  # cap undershot this batch: one corrective round trip
             flat = np.asarray(out["flat"][:, : min(width, next_q4(total))])
             if stats is not None:
                 stats["d2h"] = stats.get("d2h", 0) + flat.nbytes
+        if stats is not None:  # seconds actually blocked on this wait
+            stats["d2h_s"] = (
+                stats.get("d2h_s", 0.0) + _time.perf_counter() - tw
+            )
     return offs, total, flat
 
 

@@ -75,7 +75,7 @@ def test_mapping_step_plane_layouts_agree(use_gpos):
     S = 256
     out = jax.jit(
         lambda p, l: mapping_step_packed(
-            p, l, didx.t_rows, k, w, L, didx.mask, didx.max_probes, S,
+            p, l, didx.t_bkt, k, w, L, didx.mask, didx.max_probes, S,
             with_hashes=False,
             t_off=didx.t_off if use_gpos else None,
         )
