@@ -43,7 +43,9 @@ K, W, Z = 32, 100, 1000
 N_CONTIGS = 16
 CONTIG_LEN = 250_000
 GAP_LEN = 120
-N_READS = 6000
+N_READS = 30_000  # long enough that scheduler warmup/tail effects
+#                     are <10% of the measured stream (r4 used 6000: on a
+#                     ~6-block stream the hybrid's makespan tail dominated)
 READ_LEN = 15_000
 ERR = 0.05
 BASES = np.array(list("ACGT"))
@@ -644,7 +646,7 @@ def main():
     # weak host leg (round-to-round comparability): single-threaded
     # per-hit Python objects
     cfg = ScaffoldConfig(k=K, w=W, z=Z)
-    sub = reads[: max(100, N_READS // 15)]
+    sub = reads[: max(100, N_READS // 75)]
     weak_rps = 0.0
     for _ in range(2):
         t0 = time.time()

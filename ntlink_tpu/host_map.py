@@ -118,6 +118,28 @@ class HostMapper:
             ),
         )
 
+    #: reads per pool task: one future/queue/GIL round trip per BLOCK of
+    #: reads instead of per read. The C sketch+join releases the GIL, but
+    #: per-read futures cost ~30-50 us of GIL work each — at 4 saturated
+    #: C threads that serialized ~1.5 s of pure Python per 30k reads and
+    #: capped the hybrid's combined throughput (measured: the GIL, not
+    #: the 4 cores, was the binding resource)
+    TASK_READS = 64
+
+    def _one_block(self, items):
+        return [self._one(name, codes) for name, codes in items]
+
+    def _pool(self) -> ThreadPoolExecutor:
+        # ONE persistent pool per mapper, shared across map_stream_raw
+        # calls: the hybrid scheduler ends and restarts this stream on
+        # every idle flush (~15 times in a 30k-read run), and a fresh
+        # ThreadPoolExecutor + shutdown per restart measured ~0.6 s each —
+        # more than the entire host leg's compute for the interval
+        ex = getattr(self, "_ex", None)
+        if ex is None:
+            ex = self._ex = ThreadPoolExecutor(max_workers=self.threads)
+        return ex
+
     def map_stream_raw(
         self, named_codes: Iterable[Tuple[str, np.ndarray]]
     ) -> Iterator[Tuple[str, int, Optional[tuple]]]:
@@ -126,11 +148,18 @@ class HostMapper:
             for name, codes in named_codes:
                 yield self._one(name, codes)
             return
-        with ThreadPoolExecutor(max_workers=self.threads) as ex:
-            window: deque = deque()
-            for name, codes in named_codes:
-                window.append(ex.submit(self._one, name, codes))
-                if len(window) >= self.depth:
-                    yield window.popleft().result()
-            while window:
-                yield window.popleft().result()
+        ex = self._pool()
+        window: deque = deque()   # block futures, in order
+        block: list = []
+        depth_blocks = max(2, -(-self.depth // self.TASK_READS))
+        for item in named_codes:
+            block.append(item)
+            if len(block) >= self.TASK_READS:
+                window.append(ex.submit(self._one_block, block))
+                block = []
+                if len(window) >= depth_blocks:
+                    yield from window.popleft().result()
+        if block:
+            window.append(ex.submit(self._one_block, block))
+        while window:
+            yield from window.popleft().result()

@@ -23,11 +23,16 @@ Design (deadlock-free by construction):
   contiguous prefix as it forms (and blocks only at end-of-input, when
   both runners are guaranteed to terminate: their input generators end,
   the mappers flush),
-- scheduling is push-greedy: a block of reads goes to the path with the
-  smaller projected completion time (pending_bases / measured service
-  rate). Service rate is an EMA measured over busy spans only (idle time
-  between assignments never depresses a path's rate). Any policy is
-  correct; this one just balances load.
+- scheduling is pull-based: ready blocks queue in a small central pool,
+  and each path pulls another block only while its projected backlog
+  (pending_bases / measured service rate) is under DEPTH_S seconds.
+  Time-based depth keeps both paths saturated mid-stream AND bounds the
+  makespan tail: near end-of-input the pool drains to whichever path
+  frees capacity first, so the slow path never holds a deep committed
+  backlog. Service rate is an EMA measured over busy spans only (idle
+  time between assignments never depresses a path's rate), persisted
+  across streams on the same scheduler. Any policy is correct; this one
+  just balances load.
 
 Select with `backend=hybrid` (cfg/CLI); `hybrid_host_frac` in [0, 1] pins
 a static host share instead (tests / manual tuning).
@@ -122,10 +127,6 @@ class _Runner:
         if self.error is not None:
             raise self.error
 
-    def projected_wait(self, n_bases: int) -> float:
-        with self.lock:
-            return (self.pending_bases + n_bases) / max(self.rate, 1.0)
-
     def idle(self) -> bool:
         with self.lock:
             return self.pending_bases == 0
@@ -144,14 +145,6 @@ class _Runner:
             return list(
                 itertools.islice((s for s in self.fifo if s >= nxt), limit)
             )
-
-    def eligible(self, n_bases: int) -> bool:
-        """Bounded in-flight: never queue more than ~MAX_LAG_S of work at
-        the current measured rate (caps warmup over-assignment while the
-        rate prior is still wrong, and bounds reorder-buffer skew)."""
-        with self.lock:
-            cap = max(self.rate * MAX_LAG_S, 4.0 * n_bases)
-            return self.pending_bases + n_bases <= cap
 
     IDLE_FLUSH_S = 0.5
     BLOCKING_POLL_S = 0.02
@@ -294,6 +287,17 @@ class HybridStream:
     BLOCK_BASES = BLOCK_BASES
     #: conservative service-rate priors (bases/s); see stream()
     PRIOR_RATE = 8e6
+    #: per-path queued-work target in SECONDS at the learned rate: a path
+    #: pulls another block from the central pool only while its projected
+    #: backlog is under this. Time-based depth is self-balancing (both
+    #: paths finish their queues within ~DEPTH_S of each other, so the
+    #: makespan tail is bounded) while still deep enough to keep the
+    #: device's internal bucket + feed/drain pipeline (~3 batches ~0.6 s
+    #: of work) full mid-stream — 0.4 measured 8.5k reads/s vs 1.0's
+    #: 10.0k on the 30k-read bench (device duty 53% -> ~90%).
+    DEPTH_S = 1.0
+    #: central unassigned backlog (blocks); bounds input read-ahead
+    POOL_BLOCKS = 8
 
     def __init__(self, device, host, host_frac: float = -1.0):
         self.device = device
@@ -302,17 +306,58 @@ class HybridStream:
         self._frac_carry = 0.0
         self.host_reads = 0
         self.device_reads = 0
+        #: learned service rates (bases/s), persisted across stream()
+        #: calls on the same scheduler so a later run starts converged
+        self._learned = {}
+
+    def _grant(self, sink, pool, dev, host) -> bool:
+        """Pull-based assignment: hand the pool's next block to the
+        hungriest path (smallest projected backlog under DEPTH_S). Central
+        pool + time-based depth keep both paths saturated mid-stream
+        without committing deep tails to the slower path. Returns True if
+        a block was granted."""
+        if not pool:
+            return False
+        if self.host_frac >= 0.0:
+            # pinned split (tests / manual tuning): fractional accumulator
+            # gives exact proportions at any block count
+            self._frac_carry += self.host_frac
+            if self._frac_carry >= 1.0 - 1e-9:
+                self._frac_carry -= 1.0
+                host.submit(pool.popleft())
+            else:
+                dev.submit(pool.popleft())
+            return True
+        with sink.lock:
+            if len(sink.buf) > BUF_CAP:
+                return False
+        best, best_t = None, None
+        for p in (dev, host):
+            with p.lock:
+                t = p.pending_bases / max(p.rate, 1.0)
+            if t < self.DEPTH_S and (best_t is None or t < best_t):
+                best, best_t = p, t
+        if best is None:
+            return False
+        best.submit(pool.popleft())
+        return True
 
     def stream(
         self, named_codes: Iterable[Tuple[str, object]]
     ) -> Iterator[Tuple[str, int, Optional[tuple]]]:
         sink = _ReorderSink()
-        # conservative priors: under-feeding a path during warmup is cheap
-        # (the other picks up the slack and the EMA corrects within a few
-        # blocks); over-feeding a path that turns out slow strands early
-        # sequence numbers behind MAX_LAG_S of backlog
-        dev = _Runner("device", self.device, sink, prior_rate=self.PRIOR_RATE)
-        host = _Runner("host", self.host, sink, prior_rate=self.PRIOR_RATE)
+        # priors: learned rates from an earlier stream on this scheduler
+        # when available (a repeat run starts converged), else conservative
+        # equal priors — under-feeding a path during warmup is cheap (the
+        # other picks up the slack and the EMA corrects within a block)
+        dev = _Runner(
+            "device", self.device, sink,
+            prior_rate=self._learned.get("device", self.PRIOR_RATE),
+        )
+        host = _Runner(
+            "host", self.host, sink,
+            prior_rate=self._learned.get("host", self.PRIOR_RATE),
+        )
         dev.start()
         host.start()
 
@@ -322,7 +367,7 @@ class HybridStream:
         delivered = 0
         block = []
         block_bases = 0
-        block_idx = 0
+        pool: deque = deque()  # ready blocks not yet assigned to a path
 
         def deliver(raws):
             nonlocal delivered
@@ -341,22 +386,25 @@ class HybridStream:
                     len(block) >= self.BLOCK_READS
                     or block_bases >= self.BLOCK_BASES
                 ):
-                    while True:
-                        target = self._pick(dev, host, block, block_idx)
-                        yield from deliver(sink.pop_ready())
-                        if target is not None:
-                            target.submit(block)
-                            break
-                        # both paths (or the reorder buffer) are at their
-                        # in-flight caps: backpressure the input
-                        self._rescue(sink, held, dev, host)
-                        time.sleep(0.002)
-                    block_idx += 1
+                    pool.append(block)
                     block = []
                     block_bases = 0
+                    while self._grant(sink, pool, dev, host):
+                        pass
+                    yield from deliver(sink.pop_ready())
+                    while len(pool) >= self.POOL_BLOCKS:
+                        # both paths at depth and the pool full:
+                        # backpressure the input
+                        yield from deliver(sink.pop_wait(0.02))
+                        self._rescue(sink, held, dev, host)
+                        while self._grant(sink, pool, dev, host):
+                            pass
             if block:
-                (self._pick(dev, host, block, block_idx, force=True)
-                 or dev).submit(block)
+                pool.append(block)
+            while pool:
+                if not self._grant(sink, pool, dev, host):
+                    yield from deliver(sink.pop_wait(0.02))
+                    self._rescue(sink, held, dev, host)
             # final drain BEFORE close: the runners' idle-flush input
             # generators force mapper flushes on their own, and keeping the
             # runners feedable lets a stall rescue re-run a wedged path's
@@ -374,6 +422,9 @@ class HybridStream:
             # can run an item on BOTH paths; only the winner counts)
             self.host_reads = sink.wins.get("host", 0)
             self.device_reads = sink.wins.get("device", 0)
+            for p in (dev, host):
+                if p.reads_done:
+                    self._learned[p.name] = p.rate
         finally:
             dev.close()
             host.close()
@@ -438,38 +489,6 @@ class HybridStream:
                 owner.rescues_since_progress += 1
                 owner.last_progress_t = now  # rate-limit repeat rescues
             return
-
-    def _pick(self, dev, host, block, block_idx, force: bool = False):
-        """Choose the path for this block, or None when everything is at
-        its in-flight cap (caller backpressures). Any choice is correct —
-        the policy only affects speed."""
-        n_bases = sum(len(c) for _, _, c in block)
-        if self.host_frac >= 0.0:
-            # fractional accumulator: exact proportions at ANY block count
-            # (a modulo-cycle scheme sends the whole stream to one path
-            # when there are fewer blocks than the cycle length)
-            self._frac_carry += self.host_frac
-            if self._frac_carry >= 1.0 - 1e-9:
-                self._frac_carry -= 1.0
-                return host
-            return dev
-        with dev.sink.lock:
-            buf_full = len(dev.sink.buf) > BUF_CAP
-        if buf_full and not force:
-            return None
-        cands = [p for p in (dev, host) if force or p.eligible(n_bases)]
-        if not cands:
-            return None
-        # an idle path is wasted capacity: feed it before queue-balancing.
-        # Without this the faster path's shorter projected wait wins nearly
-        # every block, the slower path dribbles on tiny flushes, and its
-        # measured rate (hence share) spirals down — the EMA can only
-        # learn a path's true rate while the path stays saturated.
-        idle = [p for p in cands if p.idle()]
-        if idle:
-            return max(idle, key=lambda p: p.rate)
-        return min(cands, key=lambda p: p.projected_wait(n_bases))
-
 
 class HybridMapper(HybridStream):
     """Split one read stream across a DeviceMapper and a HostMapper."""
