@@ -52,16 +52,18 @@ def _single_device_step():
     from .parallel.mesh import mapping_step_packed
 
     @functools.partial(
-        jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
+        jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
     )
-    def jstep(packed, lengths, t_bkt, t_off,
+    def jstep(packed, lengths, t_bkt, t_off, chain_clen,
               k, w, L_, mask, probes, anchors, pallas_flag, with_hashes,
-              pack_gpos, nmask=None):
+              pack_gpos, do_chain, chain_z, nmask=None):
         return mapping_step_packed(
             packed, lengths, t_bkt,
             k, w, L_, mask, probes, anchors, use_pallas=pallas_flag,
             with_hashes=with_hashes, nmask=nmask,
             t_off=t_off if pack_gpos else None,
+            chain_clen=chain_clen if do_chain else None,
+            chain_z=chain_z,
         )
 
     return jstep
@@ -74,13 +76,13 @@ class DeviceMapper:
     def __init__(self, index: ContigIndex, k: int, w: int,
                  batch_bases: int = 8_000_000, use_mesh: bool = True,
                  with_hashes: bool = True, index_sharding: str = "replicated",
-                 idx_shards: int = 0):
+                 idx_shards: int = 0, prechain=None):
         from .jax_setup import configure
 
         configure()
         import jax
 
-        from .parallel.mesh import DeviceIndex
+        from .parallel.mesh import CHAIN_MAX_CONTIGS, DeviceIndex
 
         self.index = index
         self.k, self.w = k, w
@@ -106,6 +108,38 @@ class DeviceMapper:
             self._mesh2d = make_mesh_2d(self.idx_shards)
         else:
             self.didx = DeviceIndex.from_contig_index(index)
+        # on-device chaining (SURVEY §7 layer 4): when `prechain` supplies
+        # (contig_lengths int32 in contig-id order, z) and the default-knob
+        # gates hold, the z/noisy/subsume acceptance stages run inside the
+        # fused step and only accepted-run anchors ship; the raw payload is
+        # then PRE-CHAINED (pipeline groups consecutive cids, no filters).
+        # Gates: replicated index (the 2-D hash-sharded step keeps host
+        # chaining), no repeat filter (with_hashes ships hash planes for
+        # the host-side filter that must run BEFORE chaining), and a
+        # bounded contig count (the noisy-span scatter tables are
+        # per-(read, contig)).
+        self.prechained = False
+        self._clen_dev = None
+        self._chain_z = 0
+        self._chain_sel = None
+        if (
+            prechain is not None
+            and index_sharding != "hash"
+            and not with_hashes
+            and len(index.contig_names) <= CHAIN_MAX_CONTIGS
+        ):
+            from .native import chain_module
+
+            cm = chain_module()
+            if cm is not None:  # exact host selection for fallback rows
+                import jax.numpy as jnp
+
+                clen_arr, z = prechain
+                clen_np = np.ascontiguousarray(clen_arr, dtype=np.int32)
+                self._clen_dev = jnp.asarray(clen_np)
+                self._chain_z = int(z)
+                self._chain_sel = cm.Chainer(clen_np, index.contig_names)
+                self.prechained = True
         self._steps: Dict[Tuple[int, int], object] = {}
         # observed-anchor-volume cap per pad bucket (process-wide so warmup
         # teaches later mapper instances); see drain()
@@ -143,6 +177,8 @@ class DeviceMapper:
             step = make_sharded_mapping_step(
                 make_mesh(), self.k, self.w, L, self.didx.mask,
                 self.didx.max_probes, key[1], with_hashes=self.with_hashes,
+                chain_clen=self._clen_dev if self.prechained else None,
+                chain_z=self._chain_z,
             )
         else:
             from .ops.sketch_pallas import pallas_mode
@@ -156,12 +192,17 @@ class DeviceMapper:
             d = self.didx
             pack = d.t_off is not None
             t_off = d.t_off if pack else jnp.zeros(1, jnp.uint32)
+            clen = (
+                self._clen_dev if self.prechained
+                else jnp.zeros(1, jnp.int32)
+            )
             step = lambda packed, lengths, didx, nmask=None: jstep(
-                packed, lengths, d.t_bkt, t_off,
+                packed, lengths, d.t_bkt, t_off, clen,
                 self.k, self.w, L, d.mask, d.max_probes, key[1],
                 (pmode if packed.shape[0] % 8 == 0 else False)
                 if nmask is None else False,
-                self.with_hashes, pack, nmask,
+                self.with_hashes, pack, self.prechained, self._chain_z,
+                nmask,
             )
         self._steps[key] = step
         return step
@@ -203,15 +244,33 @@ class DeviceMapper:
         )
         hi = (hashes >> np.uint64(32)).astype(np.uint32).view(np.int32)
         lo = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
-        return (
-            n,
-            np.ascontiguousarray(rpos),
-            np.ascontiguousarray(cid[found].astype(np.int32)),
-            np.ascontiguousarray(cpos[found].astype(np.int32)),
-            np.ascontiguousarray(sbits),
-            hi,
-            lo,
-        )
+        rpos = np.ascontiguousarray(rpos)
+        cid = np.ascontiguousarray(cid[found].astype(np.int32))
+        cpos = np.ascontiguousarray(cpos[found].astype(np.int32))
+        sbits = np.ascontiguousarray(sbits)
+        if self.prechained:
+            # the payload contract for this mapper is PRE-CHAINED anchors
+            # (on-device chaining) — apply the identical acceptance stages
+            # exactly in C for fallback rows
+            sel = np.frombuffer(
+                self._chain_sel.chain_select(
+                    cid, cpos, rpos, sbits,
+                    len(codes), self.k, self._chain_z, 0, 0.0,
+                ),
+                np.int32,
+            )
+            n = len(sel)
+            if n == 0:
+                return None
+            rpos, cid, cpos, sbits = (
+                np.ascontiguousarray(rpos[sel]),
+                np.ascontiguousarray(cid[sel]),
+                np.ascontiguousarray(cpos[sel]),
+                np.ascontiguousarray(sbits[sel]),
+            )
+            hi = np.ascontiguousarray(hi[sel])
+            lo = np.ascontiguousarray(lo[sel])
+        return (n, rpos, cid, cpos, sbits, hi, lo)
 
     def _pad_len(self, n: int) -> int:
         p = self.MIN_PAD

@@ -34,11 +34,32 @@ class HostMapper:
     """Threaded NumPy sketch + vectorized hash join, raw-payload stream."""
 
     def __init__(self, index: ContigIndex, k: int, w: int,
-                 threads: int = 4, depth: Optional[int] = None):
+                 threads: int = 4, depth: Optional[int] = None,
+                 prechain=None):
         index.finalize()
         self.index = index
         self.k, self.w = k, w
         self.threads = max(1, int(threads))
+        # prechain=(contig_lengths int32 in contig-id order, z): apply the
+        # chaining acceptance stages IN THE WORKERS (exact C chain_select)
+        # so the payload matches a prechained DeviceMapper's — required
+        # for hybrid splits where the device chains on-chip, and a free
+        # parallelization of chaining (it moves off the consumer thread)
+        self.prechained = False
+        self._chain_sel = None
+        self._chain_z = 0
+        if prechain is not None:
+            from .native import chain_module
+
+            cm = chain_module()
+            if cm is not None:
+                clen_arr, z = prechain
+                self._chain_sel = cm.Chainer(
+                    np.ascontiguousarray(clen_arr, dtype=np.int32),
+                    index.contig_names,
+                )
+                self._chain_z = int(z)
+                self.prechained = True
         # bounded look-ahead keeps memory O(depth * read_len) while letting
         # the pool stay busy ahead of the in-order consumer
         self.depth = depth or max(64, 16 * self.threads)
@@ -65,7 +86,37 @@ class HostMapper:
                 ),
             )
 
+    def _select(self, length: int, raw):
+        """Apply the chaining acceptance stages to a raw payload (exact C
+        chain_select) when this mapper is prechained."""
+        if raw is None or not self.prechained:
+            return raw
+        n, rpos, cid, cpos, sbits, hi, lo = raw
+        sel = np.frombuffer(
+            self._chain_sel.chain_select(
+                np.ascontiguousarray(cid), np.ascontiguousarray(cpos),
+                np.ascontiguousarray(rpos), np.ascontiguousarray(sbits),
+                length, self.k, self._chain_z, 0, 0.0,
+            ),
+            np.int32,
+        )
+        if len(sel) == 0:
+            return None
+        return (
+            len(sel),
+            np.ascontiguousarray(rpos[sel]),
+            np.ascontiguousarray(cid[sel]),
+            np.ascontiguousarray(cpos[sel]),
+            np.ascontiguousarray(sbits[sel]),
+            np.ascontiguousarray(hi[sel]),
+            np.ascontiguousarray(lo[sel]),
+        )
+
     def _one(self, name: str, codes):
+        name, length, raw = self._one_raw(name, codes)
+        return name, length, self._select(length, raw)
+
+    def _one_raw(self, name: str, codes):
         if not isinstance(codes, np.ndarray):
             codes = nthash_np.encode(codes)
         if len(codes) < self.k:

@@ -497,6 +497,11 @@ class HybridMapper(HybridStream):
         super().__init__(device_mapper, host_mapper, host_frac)
         self.contig_names = device_mapper.contig_names
         self._contig_order = device_mapper._contig_order
+        # both paths must agree on the payload contract (raw anchors vs
+        # pre-chained accepted anchors) — the caller constructs the host
+        # mapper to match the device mapper's mode
+        self.prechained = getattr(device_mapper, "prechained", False)
+        assert self.prechained == getattr(host_mapper, "prechained", False)
 
     def map_stream_raw(
         self, named_codes: Iterable[Tuple[str, object]]

@@ -335,6 +335,32 @@ static Py_ssize_t chain_core(const ChainerObject *self, const int32_t *cids,
     return n_final;
 }
 
+/* Pre-chained core: the anchors already passed z/noisy/subsume upstream
+ * (on-device chaining, mesh.chain_anchors_device, or a pre-selected host
+ * payload) — every anchor is kept, in final order; final runs are just
+ * maximal consecutive same-cid groups. */
+static Py_ssize_t chain_core_prechained(const int32_t *cids, Py_ssize_t n,
+                                        Scratch *s)
+{
+    int32_t *final_idx = s->final_idx;
+    Run *final_runs = s->final_runs;
+    Py_ssize_t n_final = 0;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        final_idx[i] = (int32_t)i;
+        int32_t c = cids[i];
+        if (n_final && final_runs[n_final - 1].cid == c) {
+            final_runs[n_final - 1].end = (int32_t)(i + 1);
+        } else {
+            final_runs[n_final].cid = c;
+            final_runs[n_final].start = (int32_t)i;
+            final_runs[n_final].end = (int32_t)(i + 1);
+            final_runs[n_final].subsumed = 0;
+            n_final++;
+        }
+    }
+    return n_final;
+}
+
 /* growable byte buffer for verbose rendering */
 typedef struct {
     char *buf;
@@ -698,9 +724,10 @@ static PyObject *Chainer_chain_batch(ChainerObject *self, PyObject *args)
     double x;
     int sensitive;
     int mode = -1; /* default: verbose iff read_names given, no PAF */
-    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*Ollid|i", &cids_v, &cpos_v,
+    int prechained = 0; /* anchors already filtered/ordered upstream */
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*Ollid|ii", &cids_v, &cpos_v,
                           &rpos_v, &sbits_v, &offs_v, &rlens_v, &read_names,
-                          &k, &z, &sensitive, &x, &mode))
+                          &k, &z, &sensitive, &x, &mode, &prechained))
         return NULL;
     const int32_t *cids = cids_v.buf;
     const int32_t *cpos = cpos_v.buf;
@@ -778,10 +805,13 @@ static PyObject *Chainer_chain_batch(ChainerObject *self, PyObject *args)
     for (Py_ssize_t i = 0; i < n_reads && !failed; i++) {
         int64_t o = offs[i];
         Py_ssize_t n = (Py_ssize_t)(offs[i + 1] - o);
-        Py_ssize_t n_final =
-            n ? chain_core(self, cids + o, cpos + o, rpos + o, sbits + o, n,
-                           rlens[i], k, z, sensitive, x, &s)
-              : 0;
+        Py_ssize_t n_final = 0;
+        if (n)
+            n_final = prechained
+                          ? chain_core_prechained(cids + o, n, &s)
+                          : chain_core(self, cids + o, cpos + o, rpos + o,
+                                       sbits + o, n, rlens[i], k, z,
+                                       sensitive, x, &s);
         if (ib_reserve(&rb, (size_t)n_final * 8) < 0) {
             failed = 1;
             break;
@@ -868,14 +898,64 @@ done:
     return result;
 }
 
+/* Single-read chain selection: run the full acceptance pipeline and
+ * return the surviving anchors' ORIGINAL indices (final order) as int32
+ * bytes. Used by prechaining host paths (HostMapper workers, the device
+ * mapper's exact per-read fallback) so their payloads match the
+ * on-device chaining stage's output contract. */
+static PyObject *Chainer_chain_select(ChainerObject *self, PyObject *args)
+{
+    Py_buffer cids_v, cpos_v, rpos_v, sbits_v;
+    long read_len, k, z;
+    int sensitive;
+    double x;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*lllid", &cids_v, &cpos_v, &rpos_v,
+                          &sbits_v, &read_len, &k, &z, &sensitive, &x))
+        return NULL;
+    Py_ssize_t n = cids_v.len / (Py_ssize_t)sizeof(int32_t);
+    PyObject *result = NULL;
+    Scratch s;
+    memset(&s, 0, sizeof(s));
+    if (scratch_reserve(&s, n ? n : 1) < 0) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    {
+        Py_ssize_t n_final = 0;
+        Py_ssize_t n_sel = 0;
+        Py_BEGIN_ALLOW_THREADS
+        if (n)
+            n_final = chain_core(self, cids_v.buf, cpos_v.buf, rpos_v.buf,
+                                 sbits_v.buf, n, read_len, k, z, sensitive,
+                                 x, &s);
+        for (Py_ssize_t r = 0; r < n_final; r++)
+            n_sel = s.final_runs[r].end;
+        Py_END_ALLOW_THREADS
+        result = PyBytes_FromStringAndSize((char *)s.final_idx,
+                                           n_sel * sizeof(int32_t));
+    }
+done:
+    scratch_free(&s);
+    PyBuffer_Release(&cids_v);
+    PyBuffer_Release(&cpos_v);
+    PyBuffer_Release(&rpos_v);
+    PyBuffer_Release(&sbits_v);
+    return result;
+}
+
 static PyMethodDef Chainer_methods[] = {
+    {"chain_select", (PyCFunction)Chainer_chain_select, METH_VARARGS,
+     "chain_select(cids, cpos, rpos, sbits, read_len, k, z, sensitive, x) "
+     "-> int32 bytes of surviving anchor indices (final order)"},
     {"chain", (PyCFunction)Chainer_chain, METH_VARARGS,
      "chain(cids, cpos, rpos, sbits, n, read_len, k, z, sensitive, x, "
      "read_name) -> (runs, verbose_bytes|None)"},
     {"chain_batch", (PyCFunction)Chainer_chain_batch, METH_VARARGS,
      "chain_batch(cids, cpos, rpos, sbits, offsets, read_lens, read_names, "
-     "k, z, sensitive, x[, mode]) -> (runs_bytes, run_offsets_bytes, "
-     "verbose_bytes|None, paf_bytes|None); mode bit0=verbose bit1=paf"},
+     "k, z, sensitive, x[, mode[, prechained]]) -> (runs_bytes, "
+     "run_offsets_bytes, verbose_bytes|None, paf_bytes|None); mode "
+     "bit0=verbose bit1=paf; prechained=1 skips filters (anchors are "
+     "already accepted, in final order)"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -340,12 +340,128 @@ def unpack_bits(packed: jnp.ndarray, L: int) -> jnp.ndarray:
     return expanded.reshape(B, L).astype(jnp.bool_)
 
 
+#: run lanes for the on-device chaining stage; a read forming more runs
+#: (adversarial repeat structure) is routed to the exact host path via
+#: the slot-overflow sentinel. Genomic reads form a handful of runs.
+RUN_LANES = 64
+#: contig-count gate for on-device chaining: the noisy-span aggregates
+#: scatter into per-(read, contig) tables of this width. Covers the
+#: human-scale use case (~10^2-10^3 scaffolds); larger draft inputs chain
+#:  on the host exactly as before.
+CHAIN_MAX_CONTIGS = 4096
+
+
+def chain_anchors_device(found, cid, cpos, rlens, clen, z, k: int):
+    """On-device replica of the chaining ACCEPTANCE stages — z filter,
+    noisy-span filter, consecutive-run grouping, specific-mode subsume
+    marking, subsumed-run removal (reference ntlink_utils.py:200-294;
+    exact semantics of native/chain.c chain_core) — over the (B, S)
+    anchor planes, as masked segmented ops (no data-dependent shapes).
+
+    Valid only for the default knobs (x == 0, sensitive=False, no repeat
+    filter) and n_contigs <= CHAIN_MAX_CONTIGS; callers gate and fall
+    back to host chaining otherwise. Returns (keep, overflow): `keep`
+    marks anchors of accepted runs — their in-row order plus
+    consecutive-cid grouping on the host reproduces the final merged
+    runs (chain.c prechained mode) — and `overflow` flags rows with more
+    than RUN_LANES runs, which must be re-chained exactly on the host.
+    """
+    B, S = found.shape
+    NC = int(clen.shape[0])
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    lane = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    # 1. z filter (contig length >= z; cid is in range wherever found)
+    cidc = jnp.clip(cid, 0, NC - 1)
+    kept0 = found & (clen[cidc] >= z)
+
+    # 2. noisy-span filter: per (read, contig) min/max contig position and
+    # anchor count via scatters into (B, NC+1) tables (last col = dump for
+    # non-kept anchors); a contig with >= 2 anchors whose contig span
+    # outruns read_len + k drops entirely (x == 0 branch of chain.c)
+    tcid = jnp.where(kept0, cidc, NC)
+    amin = jnp.full((B, NC + 1), jnp.int32(0x7FFFFFFF)).at[rows, tcid].min(
+        cpos, mode="drop"
+    )
+    amax = jnp.full((B, NC + 1), jnp.int32(-1)).at[rows, tcid].max(
+        cpos, mode="drop"
+    )
+    acnt = jnp.zeros((B, NC + 1), jnp.int32).at[rows, tcid].add(
+        1, mode="drop"
+    )
+    noisy = (acnt >= 2) & ((amax - amin) > (rlens[:, None] + k))
+    kept1 = kept0 & ~jnp.take_along_axis(noisy, tcid, axis=1)
+
+    # 3. consecutive runs over kept anchors WITHOUT compaction: propagate
+    # the previous kept anchor's cid with a cummax over (lane << 13 | cid)
+    # (cid < 2^13 by the CHAIN_MAX_CONTIGS gate); a kept anchor starts a
+    # run iff the previous kept anchor's cid differs
+    # int32 key is safe: lane < 2^18 (max anchor slots) << 13 stays under
+    # 2^31 with cid < 2^13 (CHAIN_MAX_CONTIGS gate)
+    pk = jnp.where(kept1, (lane << 13) | cidc, jnp.int32(-1))
+    cm = jax.lax.cummax(pk, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), cm[:, :-1]], axis=1
+    )
+    prev_cid = jnp.where(prev >= 0, prev & 0x1FFF, -1).astype(jnp.int32)
+    runstart = kept1 & (prev_cid != cidc)
+    run_id = jnp.cumsum(runstart.astype(jnp.int32), axis=1) - 1
+    overflow = run_id[:, -1] + 1 > RUN_LANES
+    rid = jnp.where(kept1, jnp.minimum(run_id, RUN_LANES - 1), RUN_LANES)
+
+    # run-level contig ids: scatter the boundary anchors' cids to lanes
+    run_cid = jnp.full((B, RUN_LANES + 1), -1, jnp.int32).at[
+        rows, jnp.where(runstart, rid, RUN_LANES)
+    ].set(cidc, mode="drop")[:, :RUN_LANES]
+    rvalid = run_cid >= 0
+
+    # 4. specific-mode subsume. Reference semantics: every contig sighted
+    # strictly between the FIRST occurrence of a contig c and any later
+    # occurrence of c is doomed (all of its runs drop). The union of
+    # those open intervals over c's later occurrences is (first[c],
+    # last[c]), so between[q] = exists i < q with is_first[i] and
+    # last_occ[i] > q — one exclusive prefix-max. RUN_LANES is small, so
+    # first/last occurrence come from O(R^2) masked reductions.
+    r = jnp.arange(RUN_LANES, dtype=jnp.int32)
+    same = (
+        rvalid[:, :, None]
+        & rvalid[:, None, :]
+        & (run_cid[:, :, None] == run_cid[:, None, :])
+    )
+    has_earlier = (same & (r[None, :, None] > r[None, None, :])).any(axis=2)
+    is_first = rvalid & ~has_earlier
+    last_occ = jnp.max(
+        jnp.where(same, r[None, None, :], -1), axis=2
+    )
+    f = jnp.where(is_first, last_occ, -1)
+    pmax = jax.lax.cummax(f, axis=1)
+    pmax_excl = jnp.concatenate(
+        [jnp.full((B, 1), -1, f.dtype), pmax[:, :-1]], axis=1
+    )
+    between = rvalid & (pmax_excl > r[None, :])
+    doomed = (same & between[:, None, :]).any(axis=2)
+    keep_run = rvalid & ~doomed
+
+    # 5. an anchor survives iff its run does; overflow rows are wiped so
+    # their (host-recomputed) offsets stay consistent
+    keep = kept1 & jnp.take_along_axis(
+        jnp.concatenate(
+            [keep_run, jnp.zeros((B, 1), jnp.bool_)], axis=1
+        ),
+        rid,
+        axis=1,
+    )
+    return keep & ~overflow[:, None], overflow
+
+
 def mapping_step_packed(packed, lengths, t_bkt,
                         k: int, w: int, L: int, mask: int, max_probes: int,
                         max_anchors: int, use_pallas: bool = False,
-                        with_hashes: bool = True, nmask=None, t_off=None):
+                        with_hashes: bool = True, nmask=None, t_off=None,
+                        chain_clen=None, chain_z=None):
     """Fused mapping step: unpack -> sketch -> compact minimizers ->
-    bucket hash-join -> global anchor compaction. Outputs are O(anchors), not
+    bucket hash-join -> [optional on-device chaining] -> global anchor
+    compaction. Outputs are O(anchors), not
     O(bases): `meta` = per-read [counts | n_minimizers] (2B,) and `flat` =
     (planes, B*S) with all matched anchors packed front in read order —
     plane 0 read positions (strand bits in bits 29/30), then EITHER one
@@ -357,6 +473,12 @@ def mapping_step_packed(packed, lengths, t_bkt,
     batches N-containing reads through the compacted-window kernel
     (reference N semantics) instead of the per-read host fallback; requires
     `use_pallas=False`.
+
+    When `chain_clen` ((n_contigs,) int32 device lengths) and `chain_z`
+    (scalar) are given, the chaining acceptance stages run ON DEVICE
+    (chain_anchors_device) and only accepted-run anchors ship; rows whose
+    run count overflows RUN_LANES report n_minimizers > max_anchors so
+    the drain re-chains them exactly on the host (SURVEY §7 layer 4).
     """
     codes = unpack_codes(packed, L)
     if nmask is not None:
@@ -402,11 +524,17 @@ def mapping_step_packed(packed, lengths, t_bkt,
         t_bkt, q_hi, q_lo, mask, max_probes
     )
     found = found & sel_ok
-    # selection-overflow rows report n_minimizers past the slot budget:
-    # the drain's existing slot-overflow branch re-maps them exactly on
-    # the host (adversarial inputs only; genomic data never trips this)
+    overflow_rows = sel_overflow
+    if chain_clen is not None:
+        found, chain_overflow = chain_anchors_device(
+            found, cid, cpos, lengths, chain_clen, chain_z, k
+        )
+        overflow_rows = overflow_rows | chain_overflow
+    # selection/chain-overflow rows report n_minimizers past the slot
+    # budget: the drain's existing slot-overflow branch re-maps them
+    # exactly on the host (adversarial inputs only in practice)
     n_minimizers = jnp.where(
-        sel_overflow,
+        overflow_rows,
         jnp.maximum(emit.sum(axis=1), max_anchors + 1),
         emit.sum(axis=1),
     ).astype(jnp.int32)
@@ -595,43 +723,54 @@ def pack_codes(codes: np.ndarray) -> np.ndarray:
 
 def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
                               mask: int, max_probes: int, max_anchors: int,
-                              with_hashes: bool = True):
+                              with_hashes: bool = True,
+                              chain_clen=None, chain_z: int = 0):
     """jit the packed mapping step with batch rows sharded over the data
-    axis and the table replicated; XLA inserts the collectives."""
+    axis and the table replicated; XLA inserts the collectives.
+    `chain_clen` ((n_contigs,) int32, replicated like the table) enables
+    the on-device chaining stage (chain_anchors_device) — per-row masked
+    ops only, so it shards over `data` like the rest of the step."""
     data_sharding = NamedSharding(mesh, P("data", None))
     repl = NamedSharding(mesh, P())
+    do_chain = chain_clen is not None
+    clen_op = (
+        jnp.asarray(chain_clen) if do_chain else jnp.zeros(1, jnp.int32)
+    )
 
     @functools.partial(
         jax.jit,
-        static_argnums=(4, 5, 6, 7, 8, 9, 10, 11),
+        static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13),
         in_shardings=(
-            data_sharding, NamedSharding(mesh, P("data")), repl, repl,
+            data_sharding, NamedSharding(mesh, P("data")), repl, repl, repl,
         ),
     )
-    def step(packed, lengths, t_bkt, t_off,
-             k_, w_, L_, mask_, probes_, anchors_, with_hashes_, pack_gpos_):
+    def step(packed, lengths, t_bkt, t_off, clen,
+             k_, w_, L_, mask_, probes_, anchors_, with_hashes_, pack_gpos_,
+             do_chain_):
         return mapping_step_packed(
             packed, lengths, t_bkt,
             k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
             t_off=t_off if pack_gpos_ else None,
+            chain_clen=clen if do_chain_ else None, chain_z=chain_z,
         )
 
     @functools.partial(
         jax.jit,
-        static_argnums=(5, 6, 7, 8, 9, 10, 11, 12),
+        static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14),
         in_shardings=(
-            data_sharding, NamedSharding(mesh, P("data")), repl, repl,
+            data_sharding, NamedSharding(mesh, P("data")), repl, repl, repl,
             data_sharding,
         ),
     )
-    def step_n(packed, lengths, t_bkt, t_off, nmask,
+    def step_n(packed, lengths, t_bkt, t_off, clen, nmask,
                k_, w_, L_, mask_, probes_, anchors_, with_hashes_,
-               pack_gpos_):
+               pack_gpos_, do_chain_):
         # N batch: rows shard like the code rows; compacted-window kernel
         return mapping_step_packed(
             packed, lengths, t_bkt,
             k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
             nmask=nmask, t_off=t_off if pack_gpos_ else None,
+            chain_clen=clen if do_chain_ else None, chain_z=chain_z,
         )
 
     def run(packed, lengths, didx, nmask=None):
@@ -641,12 +780,12 @@ def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
             t_off = jnp.zeros(1, jnp.uint32)
         if nmask is None:
             return step(
-                packed, lengths, didx.t_bkt, t_off, k, w, L, mask,
-                max_probes, max_anchors, with_hashes, pack,
+                packed, lengths, didx.t_bkt, t_off, clen_op, k, w, L, mask,
+                max_probes, max_anchors, with_hashes, pack, do_chain,
             )
         return step_n(
-            packed, lengths, didx.t_bkt, t_off, nmask, k, w, L, mask,
-            max_probes, max_anchors, with_hashes, pack,
+            packed, lengths, didx.t_bkt, t_off, clen_op, nmask, k, w, L,
+            mask, max_probes, max_anchors, with_hashes, pack, do_chain,
         )
 
     return run
@@ -694,3 +833,16 @@ def dryrun(n_devices: int, k: int = 32, w: int = 100) -> None:
     )
     jax.block_until_ready(out_n)
     assert int(out_n["n_anchors"]) > 0, "sharded N join found no anchors"
+
+    # on-device chaining variant: same shardings plus the replicated
+    # contig-length operand; every anchor maps cleanly to the one long
+    # contig, so chaining must accept them all
+    step_c = make_sharded_mapping_step(
+        mesh, k, w, L, didx.mask, didx.max_probes, 256,
+        chain_clen=np.full(1, L, np.int32), chain_z=1,
+    )
+    out_c = step_c(
+        jnp.asarray(pack_codes(codes)), jnp.asarray(lengths), didx
+    )
+    jax.block_until_ready(out_c)
+    assert int(out_c["n_anchors"]) > 0, "chained sharded step lost anchors"

@@ -86,7 +86,31 @@ def _host_hit_stream_codes(cfg, index, codes_iter):
         yield name, len(codes), hits
 
 
-def _make_device_mapper(cfg: ScaffoldConfig, index: ContigIndex):
+def _prechain_args(cfg: ScaffoldConfig, index: ContigIndex, contig_lengths):
+    """(clen int32 in contig-id order, z) when the run qualifies for
+    pre-chained payloads (chaining acceptance applied inside the mappers:
+    on-device for DeviceMapper, in C workers for HostMapper), else None.
+    Gated to the default knobs: the repeat filter must run BEFORE
+    chaining (host path), sensitive-mode subsume and the x fudge factor
+    are host-only (x uses double math whose float semantics the device
+    does not replicate bit-exactly)."""
+    if (
+        contig_lengths is None
+        or cfg.repeats
+        or cfg.sensitive
+        or cfg.x != 0
+    ):
+        return None
+    import numpy as _np
+
+    clen = _np.zeros(len(index.contig_names), dtype=_np.int32)
+    for i, nme in enumerate(index.contig_names):
+        clen[i] = contig_lengths[nme]
+    return clen, cfg.z
+
+
+def _make_device_mapper(cfg: ScaffoldConfig, index: ContigIndex,
+                        contig_lengths=None):
     if cfg.backend == "numpy":
         return None
     try:
@@ -96,6 +120,7 @@ def _make_device_mapper(cfg: ScaffoldConfig, index: ContigIndex):
             index, cfg.k, cfg.w, batch_bases=cfg.batch_bases,
             with_hashes=cfg.repeats, index_sharding=cfg.index_sharding,
             idx_shards=cfg.idx_shards,
+            prechain=_prechain_args(cfg, index, contig_lengths),
         )
     except Exception as exc:  # pragma: no cover - no jax available
         if cfg.backend == "jax":
@@ -210,12 +235,16 @@ def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh,
                 np, offs, (cid, cpos, rpos, sbits), hi, lo
             )
         rlens = np.asarray(g_lens, np.int32)
+        # pre-chained mappers (on-device chaining / chain_select workers)
+        # deliver ACCEPTED anchors in final order: chain_batch only groups
+        # consecutive cids and renders — no filters re-run
         runs_b, ro_b, vbytes, pbytes = chainer.chain_batch(
             np.ascontiguousarray(cid), np.ascontiguousarray(cpos),
             np.ascontiguousarray(rpos), np.ascontiguousarray(sbits),
             offs, rlens,
             g_names if mode else None,
             cfg.k, cfg.z, 1 if cfg.sensitive else 0, float(cfg.x), mode,
+            1 if getattr(mapper, "prechained", False) else 0,
         )
         if verbose_fh and vbytes:
             verbose_fh.write(vbytes)
@@ -332,7 +361,7 @@ def map_reads(
     paf_fh = open(paf_tmp, "wb") if paf_path else None
 
     if mapper is None:
-        mapper = _make_device_mapper(cfg, index)
+        mapper = _make_device_mapper(cfg, index, contig_lengths)
     chainer = None
     if mapper is not None:
         chainer = _make_native_chainer(mapper, contig_lengths)
@@ -351,7 +380,13 @@ def map_reads(
             # populated than with a core reserved for the device feed
             mapper = HybridMapper(
                 mapper,
-                HostMapper(index, cfg.k, cfg.w, threads=max(1, cfg.t)),
+                HostMapper(
+                    index, cfg.k, cfg.w, threads=max(1, cfg.t),
+                    prechain=(
+                        _prechain_args(cfg, index, contig_lengths)
+                        if getattr(mapper, "prechained", False) else None
+                    ),
+                ),
                 cfg.hybrid_host_frac,
             )
     else:
@@ -361,7 +396,10 @@ def map_reads(
         # to the generic object path only if the C chainer didn't build
         from .host_map import HostMapper
 
-        host = HostMapper(index, cfg.k, cfg.w, threads=cfg.t)
+        host = HostMapper(
+            index, cfg.k, cfg.w, threads=cfg.t,
+            prechain=_prechain_args(cfg, index, contig_lengths),
+        )
         chainer = _make_native_chainer(host, contig_lengths)
         if chainer is not None:
             mapper = host
@@ -442,7 +480,7 @@ def pair_stage(cfg: ScaffoldConfig) -> str:
             # ntlink_pair.py:382-388)
             import dataclasses
 
-            mapper = _make_device_mapper(cfg, index)
+            mapper = _make_device_mapper(cfg, index, contig_lengths)
             per_file_tallies: Dict[int, PairTally] = {}
             verbose_parts: Dict[int, str] = {}
             paf_parts: Dict[int, str] = {}
