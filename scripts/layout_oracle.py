@@ -69,8 +69,20 @@ def add_edge_rc(g, u, v, d, n):
 
 def build_truth_graph(rng, n_chroms=6, chrom_len=12, true_n=12,
                       p_transitive=0.6, n_repeats=2, n_chimeric=6,
-                      n_tips=6, noise_n=2):
-    """Returns (graph, truth_adjacencies, contig_lengths)."""
+                      n_tips=6, noise_n=2, n_tandem=0, chimera_ratio=None,
+                      n_neartie=0):
+    """Returns (graph, truth_adjacencies, contig_lengths).
+
+    Round-5 adversarial families (VERDICT r4 #7):
+    - `n_tandem`: collapsed TANDEM repeats — a repeat vertex spliced into
+      one chain with a self-edge (rep->rep), the collapsed signature of
+      `...u rep rep v...`,
+    - `chimera_ratio`: chimeric joins drawn at this fraction of the TRUE
+      edge support (None keeps the old independent Poisson noise) — 0.85
+      makes chimeras nearly indistinguishable from real joins by weight,
+    - `n_neartie`: near-tie branches — a competing edge out of a real
+      chain vertex into another chain at (true support - 1).
+    """
     g = ScaffoldGraph()
     lengths = {}
     chroms = []
@@ -117,14 +129,51 @@ def build_truth_graph(rng, n_chroms=6, chrom_len=12, true_n=12,
             add_edge_rc(g, u, name + "+", GAP, n)
             add_edge_rc(g, name + "+", v, GAP, n)
 
-    # chimeric joins: low-support edges between unrelated contigs
+    # collapsed tandem repeats: one vertex spliced into a single chain
+    # position WITH a self-edge — the collapsed form of `u rep rep v`
+    for r in range(n_tandem):
+        name = f"tnd{r}"
+        lengths[name] = CONTIG_LEN
+        g.add_node(name + "+", CONTIG_LEN)
+        g.add_node(name + "-", CONTIG_LEN)
+        chain = chroms[int(rng.integers(0, len(chroms)))]
+        i = int(rng.integers(0, len(chain) - 1))
+        u, v = chain[i], chain[i + 1]
+        n = max(2, int(rng.poisson(true_n)))
+        add_edge_rc(g, u, name + "+", GAP, n)
+        add_edge_rc(g, name + "+", v, GAP, n)
+        add_edge_rc(g, name + "+", name + "+", GAP,
+                    max(2, int(rng.poisson(true_n * 0.5))))
+
+    # chimeric joins: spurious edges between unrelated contigs, either at
+    # independent low support (noise_n) or scaled to the true support
     names = [c for chain in chroms for c in chain]
     for _ in range(n_chimeric):
         u = names[int(rng.integers(0, len(names)))]
         v = names[int(rng.integers(0, len(names)))]
         if u[:-1] == v[:-1] or (u, v) in truth:
             continue
-        add_edge_rc(g, u, v, GAP, max(1, int(rng.poisson(noise_n))))
+        if chimera_ratio is not None:
+            n = max(1, int(round(chimera_ratio * true_n)))
+        else:
+            n = max(1, int(rng.poisson(noise_n)))
+        add_edge_rc(g, u, v, GAP, n)
+
+    # near-tie branches: a competing out-edge from a real chain vertex
+    # into a DIFFERENT chain at (true support - 1) — the weight signal
+    # that separates right from wrong is one read pair
+    for _ in range(n_neartie):
+        a = chroms[int(rng.integers(0, len(chroms)))]
+        b = chroms[int(rng.integers(0, len(chroms)))]
+        if a is b:
+            continue
+        i = int(rng.integers(0, len(a) - 1))
+        u, v = a[i], a[i + 1]
+        true_edge = g.edge(u, v)
+        w = b[int(rng.integers(0, len(b)))]
+        if (u, w) in truth or w[:-1] == u[:-1]:
+            continue
+        add_edge_rc(g, u, w, GAP, max(1, true_edge.n - 1))
 
     # spur tips: fake dead-end contigs off real vertices
     for t in range(n_tips):
@@ -191,6 +240,17 @@ def main():
         dict(n_chimeric=4, n_tips=4, noise_n=2, label="mild noise"),
         dict(n_chimeric=12, n_tips=12, noise_n=3, label="heavy noise"),
         dict(n_chimeric=8, n_tips=8, noise_n=5, label="strong spurious"),
+        # round-5 adversarial families (VERDICT r4 #7)
+        dict(n_chimeric=6, n_tips=4, noise_n=2, n_tandem=3,
+             label="tandem repeats"),
+        dict(n_chimeric=10, n_tips=4, chimera_ratio=0.5,
+             label="chimera 0.5x support"),
+        dict(n_chimeric=10, n_tips=4, chimera_ratio=0.85,
+             label="chimera 0.85x support"),
+        dict(n_chimeric=0, n_tips=0, n_neartie=10,
+             label="near-tie branches"),
+        dict(n_chroms=20, chrom_len=40, n_chimeric=40, n_tips=40,
+             n_repeats=6, noise_n=3, label="large graph (800 contigs)"),
     ]
     print("| noise | variant | misjoins/run | recovered % | N50 (kb) |")
     print("|---|---|---|---|---|")

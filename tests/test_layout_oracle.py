@@ -40,6 +40,22 @@ def test_shipped_variant_beats_flips():
     assert rec_a > rec_c
 
 
+def test_shipped_variant_beats_flips_adversarial_families():
+    """Round-5 families (DESIGN.md table): tandem repeats with self-edges,
+    near-true-support chimeras, and near-tie branches must not flip the
+    verdict — the shipped config stays at least as good on misjoins and
+    recovery as the topological-tip flip."""
+    for grid in (
+        dict(n_chimeric=6, n_tips=4, noise_n=2, n_tandem=3),
+        dict(n_chimeric=10, n_tips=4, chimera_ratio=0.85),
+        dict(n_chimeric=0, n_tips=0, n_neartie=10),
+    ):
+        mis_a, rec_a = _avg((True, True), **grid)
+        mis_b, rec_b = _avg((False, True), **grid)
+        assert mis_a <= mis_b + 1e-9, grid
+        assert rec_a >= rec_b - 1e-9, grid
+
+
 def test_unambiguous_graph_is_untouched():
     """On clean chains every resolution pass is a no-op regardless of the
     tip rule (golden byte parity depends on this)."""
