@@ -450,8 +450,10 @@ def write_gap_filled(
     counters: Counter = Counter()
     printed = set()
     with open(out_path, "w") as out:
+        # streaming render (see merge.merge_contigs): each piece writes as
+        # produced — no whole-scaffold string is ever materialized
         for path_id, tokens in read_path_file(path_file):
-            chunks: List[str] = []
+            out.write(f">{path_id}\n")
             overlap_gap = False
             for idx, tok in enumerate(tokens):
                 m = GAP_RE.match(tok)
@@ -465,12 +467,12 @@ def write_gap_filled(
                         counters["small_gaps"] += 1
                     key = (tokens[idx - 1], tokens[idx + 1])
                     if key not in pairs:
-                        chunks.append("N" * (gap - 1))
+                        out.write("N" * (gap - 1))
                         continue
                     counters["potential_fills"] += 1
                     pair = pairs[key]
                     if pair.source_read_cut is None or pair.target_read_cut is None:
-                        chunks.append("N" * pair.gap_size)
+                        out.write("N" * pair.gap_size)
                     else:
                         ori = (
                             "-"
@@ -479,7 +481,7 @@ def write_gap_filled(
                             else "+"
                         )
                         fill = pair.cut_read_sequence(reads, ori)
-                        chunks.append(fill.lower() if cfg.soft_mask else fill)
+                        out.write(fill.lower() if cfg.soft_mask else fill)
                         counters["filled_gaps"] += 1
                         counters[
                             "old_anchor_used" if pair.old_anchor_used else "new_anchor_used"
@@ -490,8 +492,8 @@ def write_gap_filled(
                     if overlap_gap:
                         seq = seq[:1].lower() + seq[1:]
                         overlap_gap = False
-                    chunks.append(seq)
-            out.write(f">{path_id}\n{''.join(chunks)}\n")
+                    out.write(seq)
+            out.write("\n")
         for name, scaffold in sequences.items():
             if name not in printed:
                 out.write(f">{name}\n{scaffold.seq}\n")
@@ -596,13 +598,18 @@ def gap_fill_stage(cfg: ScaffoldConfig) -> str:
     wanted = {p.chosen_read for p in pairs.values() if p.chosen_read is not None}
     reads: Dict[str, str] = {}
     # scan read files for the chosen reads with parallel decompression
-    # (reference uses threaded btllib SeqReader, ntlink_patch_gaps.py:264-273)
-    from .seqio.fastx import prefetch_files
+    # (reference uses threaded btllib SeqReader, ntlink_patch_gaps.py:264-273);
+    # only WANTED records decode to str — the sweep visits every read of a
+    # 10x dataset to keep a few hundred, and per-record str decode +
+    # namedtuple construction was over half the scan's cost at 30 Gbase
+    from .seqio.fastx import prefetch_files, scan_selected_reads
 
-    for _, rec_iter in prefetch_files(cfg.reads, stream_fastx, threads=cfg.t):
-        for rec in rec_iter:
-            if rec.name in wanted:
-                reads[rec.name] = rec.seq
+    def selected(path):
+        return scan_selected_reads(path, wanted)
+
+    for _, rec_iter in prefetch_files(cfg.reads, selected, threads=cfg.t):
+        for name, seq in rec_iter:
+            reads[name] = seq
 
     find_pass1_cuts(pairs, mappings, cfg.k)
     refine_cuts(pairs, sequences, reads, cfg)

@@ -81,6 +81,25 @@ def stream_codes(path: str):
         yield rec.name, nthash_np.encode(rec.seq)
 
 
+def scan_selected_reads(path: str, wanted):
+    """Yield (name, seq_str) for records whose name is in `wanted`,
+    decoding ONLY those. The gap-fill read sweep visits every record of
+    the read set to keep a few hundred chosen reads; skipping the str
+    decode + FastxRecord construction for the 99.97% unwanted records
+    roughly halves the sweep at 30 Gbase."""
+    from ..native import fastx_module
+
+    mod = fastx_module()
+    if mod is not None:
+        for name, _, seq, _ in mod.Reader(path):
+            if name in wanted:
+                yield name, seq.decode("ascii")
+        return
+    for rec in stream_fastx(path, native=False):
+        if rec.name in wanted:
+            yield rec.name, rec.seq
+
+
 def _parse(fh) -> Iterator[FastxRecord]:
     pending = None  # header line carried over between records
     while True:
