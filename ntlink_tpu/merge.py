@@ -9,29 +9,8 @@ Input sequences that appear in no path are passed through unchanged as
 """
 from __future__ import annotations
 
-from typing import Dict, List
-
 from .pathio import gap_size, is_gap, read_path_file
 from .seqio import reverse_complement, stream_fastx
-
-
-def render_path_sequence(tokens: List[str], sequences: Dict[str, str]) -> str:
-    parts = []
-    overlap_join = False  # a 0-size gap soft-masks the next contig's 1st base
-    for token in tokens:
-        if is_gap(token):
-            n = gap_size(token) - 1
-            parts.append("N" * n)
-            overlap_join = n == 0
-        else:
-            name, ori = token[:-1], token[-1]
-            seq = sequences[name]
-            seq = reverse_complement(seq) if ori == "-" else seq
-            if overlap_join and seq:
-                seq = seq[0].lower() + seq[1:]
-                overlap_join = False
-            parts.append(seq)
-    return "".join(parts)
 
 
 def merge_contigs(
