@@ -456,23 +456,30 @@ class DeviceMapper:
             n_planes = int(out["flat"].shape[0])
             slots = int(out["flat"].shape[1]) // B
             t0 = time_mod.perf_counter() if timing_on else 0.0
-            offs, total, flat = finish_flat_stream(
+            offs, total, flat, r16 = finish_flat_stream(
                 out, sliced, count, B, int((lengths > 0).sum()),
                 self._flat_caps, pad, stats=self.wire_stats,
             )
             if timing_on:
                 _t("drain_flat_wait", t0)
             pack = getattr(self.didx, "t_off", None) is not None
+            has_r16 = out.get("r16") is not None
+            g0 = 0 if has_r16 else 1  # gpos/cid plane index
             if total:
-                rpos_all = flat[0] & 0x1FFFFFFF
-                sbits_all = (flat[0] >> 29) & 3
+                if has_r16:  # uint16 rpos+strand stream (pads <= 16384)
+                    v = r16.view(np.uint16)
+                    rpos_all = (v & 0x3FFF).astype(np.int32)
+                    sbits_all = ((v >> 14) & 3).astype(np.int32)
+                else:
+                    rpos_all = flat[0] & 0x1FFFFFFF
+                    sbits_all = (flat[0] >> 29) & 3
                 if pack:  # one gpos plane -> (cid, cpos), batch-level
                     cid_all, cpos_all = self.didx.decode_gpos(
-                        flat[1, :total]
+                        flat[g0, :total]
                     )
                 else:
-                    cid_all, cpos_all = flat[1], flat[2]
-            hash_base = 2 if pack else 3
+                    cid_all, cpos_all = flat[g0], flat[g0 + 1]
+            hash_base = (1 if pack else 2) + (0 if has_r16 else 1)
             for row, i in rows.items():
                 n = int(count[row])
                 if n_mins[row] > slots:  # slot overflow: redo exactly on host

@@ -527,7 +527,7 @@ class JaxSketcher:
             meta = np.asarray(out["meta"])
             count, n_mins = meta[:B], meta[B:]
             slots = int(out["flat"].shape[1]) // B
-            offs, total, flat = finish_flat_stream(
+            offs, total, flat, _r16 = finish_flat_stream(
                 out, sliced, count, B, len(rows), self._flat_caps,
                 (k, w, pad),
             )

@@ -547,27 +547,46 @@ def mapping_step_packed(packed, lengths, t_bkt,
     # resource here. Cumsum + scatter preserves both read order and
     # within-read anchor order at linear cost (vs the n log n argsort).
     takef = compact_flat(found.reshape(-1), B * max_anchors)
-    # strand bits ride in the read-position word (positions < 2^21)
-    rpos_packed = (
-        m_pos
-        | (cstrand.astype(jnp.int32) << 29)
-        | (m_fwd.astype(jnp.int32) << 30)
-    )
+    # read positions: pads <= 16384 fit rpos in 14 bits, so the whole
+    # rpos+strand word ships as a SEPARATE uint16 stream ("r16") — half
+    # the bytes of an int32 plane on the dominant D2H direction. Larger
+    # pads keep the int32 plane-0 layout (strand bits at 29/30).
+    use_r16 = L <= 16384
+    planes = []
+    out_r16 = None
+    if use_r16:
+        out_r16 = takef(
+            (
+                m_pos
+                | (cstrand.astype(jnp.int32) << 14)
+                | (m_fwd.astype(jnp.int32) << 15)
+            ).astype(jnp.uint16)
+        )
+    else:
+        rpos_packed = (
+            m_pos
+            | (cstrand.astype(jnp.int32) << 29)
+            | (m_fwd.astype(jnp.int32) << 30)
+        )
+        planes.append(takef(rpos_packed))
     if t_off is not None:
         gpos = t_off[jnp.maximum(cid, 0)] + cpos.astype(jnp.uint32)
         gplane = jax.lax.bitcast_convert_type(gpos, jnp.int32)
-        planes = [takef(rpos_packed), takef(gplane)]
+        planes.append(takef(gplane))
     else:
-        planes = [takef(rpos_packed), takef(cid), takef(cpos)]
+        planes += [takef(cid), takef(cpos)]
     if with_hashes:
         planes += [takef(q_hi).astype(jnp.int32), takef(q_lo).astype(jnp.int32)]
-    flat = jnp.stack(planes, axis=0)  # (2..5, B*S) int32
-    return {
+    flat = jnp.stack(planes, axis=0)  # (1..5, B*S) int32
+    out = {
         # tiny per-row metadata in one tensor: async-prefetched at dispatch
         "meta": jnp.concatenate([count, n_minimizers]),
         "flat": flat,
         "n_anchors": found.sum(),
     }
+    if use_r16:
+        out["r16"] = out_r16
+    return out
 
 
 def sketch_step_packed(packed, lengths, k: int, w: int, L: int, max_mins: int,

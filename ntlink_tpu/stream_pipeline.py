@@ -154,14 +154,24 @@ def start_flat_stream(out, caps: dict, key, stats: dict = None):
     width = int(out["flat"].shape[1])
     cap = min(width, caps.get(key, width // 2))
     sliced = out["flat"][:, :cap]
+    # optional half-width read-position stream (uint16 rpos+strand for
+    # pads <= 16384): capped by the same lane count, half the bytes of
+    # an int32 plane on the dominant D2H direction
+    r16 = out.get("r16")
+    sliced16 = r16[:cap] if r16 is not None else None
     if stats is not None:  # bytes that WILL move (copies just started)
-        stats["d2h"] = stats.get("d2h", 0) + out["meta"].nbytes + sliced.nbytes
+        stats["d2h"] = (
+            stats.get("d2h", 0) + out["meta"].nbytes + sliced.nbytes
+            + (sliced16.nbytes if sliced16 is not None else 0)
+        )
     try:
         out["meta"].copy_to_host_async()
         sliced.copy_to_host_async()
+        if sliced16 is not None:
+            sliced16.copy_to_host_async()
     except Exception:
         pass
-    return sliced
+    return (sliced, sliced16)
 
 
 def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
@@ -175,11 +185,13 @@ def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
     cap), and fetches the flat payload — from the already-streaming prefix
     when the cap held, else via one corrective round trip.
 
-    Returns (offs, total, flat) with flat=None when the batch is empty.
+    Returns (offs, total, flat, r16) with flat/r16 None when the batch
+    is empty (r16 also None when the step has no uint16 rpos stream).
     """
     offs = np.zeros(B + 1, np.int64)
     np.cumsum(count, out=offs[1:])
     total = int(offs[-1])
+    sliced, sliced16 = sliced
     width = int(out["flat"].shape[1])
     scaled = total * B // max(1, n_filled)
     caps[key] = max(
@@ -187,21 +199,30 @@ def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
         min(width, next_q4(max(13 * scaled // 10, 4096))),
     )
     flat = None
+    r16 = None
     if total:
         import time as _time
 
         tw = _time.perf_counter()
         if total <= int(sliced.shape[1]):
             flat = np.asarray(sliced)  # already streaming
+            if sliced16 is not None:
+                r16 = np.asarray(sliced16)
         else:  # cap undershot this batch: one corrective round trip
-            flat = np.asarray(out["flat"][:, : min(width, next_q4(total))])
+            w2 = min(width, next_q4(total))
+            flat = np.asarray(out["flat"][:, :w2])
+            if out.get("r16") is not None:
+                r16 = np.asarray(out["r16"][:w2])
             if stats is not None:
-                stats["d2h"] = stats.get("d2h", 0) + flat.nbytes
+                stats["d2h"] = (
+                    stats.get("d2h", 0) + flat.nbytes
+                    + (r16.nbytes if r16 is not None else 0)
+                )
         if stats is not None:  # seconds actually blocked on this wait
             stats["d2h_s"] = (
                 stats.get("d2h_s", 0.0) + _time.perf_counter() - tw
             )
-    return offs, total, flat
+    return offs, total, flat, r16
 
 
 def split_n_rows(row_codes: List[np.ndarray], B: int, pad: int):

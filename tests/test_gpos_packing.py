@@ -85,15 +85,20 @@ def test_mapping_step_plane_layouts_agree(use_gpos):
     count = meta[: codes.shape[0]]
     total = int(count.sum())
     assert total >= len(mins)  # row 0 is the indexed sequence itself
+    # pads <= 16384 ship read positions as the separate uint16 stream
+    # ("r16", strand bits at 14/15); the int32 plane-0 layout remains for
+    # larger pads
+    assert "r16" in out
+    r16 = np.asarray(out["r16"]).view(np.uint16)
     if use_gpos:
-        assert flat.shape[0] == 2
-        cid, cpos = didx.decode_gpos(flat[1, :total])
+        assert flat.shape[0] == 1
+        cid, cpos = didx.decode_gpos(flat[0, :total])
     else:
-        assert flat.shape[0] == 3
-        cid, cpos = flat[1, :total], flat[2, :total]
+        assert flat.shape[0] == 2
+        cid, cpos = flat[0, :total], flat[1, :total]
     # row 0's anchors are exactly its index entries, in read order
     n0 = int(count[0])
-    rpos = flat[0, :n0] & 0x1FFFFFFF
+    rpos = (r16[:n0] & 0x3FFF).astype(np.int64)
     assert np.array_equal(rpos, mins.positions.astype(np.int64)[: len(rpos)])
     assert (cid[:n0] == 0).all()
     assert np.array_equal(cpos[:n0], mins.positions.astype(np.int32)[:n0])
