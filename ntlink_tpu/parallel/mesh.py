@@ -51,6 +51,11 @@ BUCKET = 8
 #: HALVING table bytes vs the old load-0.25 linear-probe layout
 #: (~2.1 GB at human scale's 59 M minimizers vs 4.3 GB)
 BUCKET_LOAD = 4
+#: below this entry count, halve the average fill (2 of 8): overflow
+#: chains all but vanish, max_probes is typically 1 and the join's
+#: gather volume halves, for table bytes that stay trivial (<= 1 GB)
+BUCKET_LOAD_SMALL = 2
+SMALL_TABLE_ENTRIES = 32_000_000
 
 
 class DeviceIndex:
@@ -71,8 +76,11 @@ class DeviceIndex:
                  positions: np.ndarray, strands: np.ndarray):
         n = int(hashes.shape[0])
         self._build_gpos(contig_ids, positions, n)
+        load = (
+            BUCKET_LOAD_SMALL if n <= SMALL_TABLE_ENTRIES else BUCKET_LOAD
+        )
         nb = 2
-        while nb * BUCKET_LOAD < n:
+        while nb * load < n:
             nb <<= 1
         bmask = nb - 1
         hi = (hashes >> np.uint64(32)).astype(np.uint32)

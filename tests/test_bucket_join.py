@@ -69,9 +69,11 @@ def test_bucket_spill_chains_stay_findable():
     # of the eventual table so the spill chain wraps to bucket 0
     pool = rng.integers(1, 2**63, 400_000, dtype=np.uint64)
     n_target = 3 * BUCKET  # needs a 3-bucket chain
-    # table size for n_target entries
+    # table size for n_target entries (small tables build at avg fill 2)
+    from ntlink_tpu.parallel.mesh import BUCKET_LOAD_SMALL
+
     nb = 2
-    while nb * 4 < n_target:
+    while nb * BUCKET_LOAD_SMALL < n_target:
         nb <<= 1
     bmask = nb - 1
     lo = (pool & np.uint64(0xFFFFFFFF)).astype(np.uint32)
