@@ -116,6 +116,57 @@ class HostMapper:
         name, length, raw = self._one_raw(name, codes)
         return name, length, self._select(length, raw)
 
+    def _select_block(self, results):
+        """Batched chaining acceptance for one pool task's results: ONE
+        GIL-released C call (chain_select_batch) over the block's
+        concatenated anchors, then vectorized re-slicing. The per-read
+        chain_select form cost ~10% of the whole host leg in call
+        overhead at t=4."""
+        counts = [
+            (raw[0] if raw is not None else 0) for _, _, raw in results
+        ]
+        total = sum(counts)
+        if total == 0:
+            return results
+        offs = np.zeros(len(results) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        cat = [np.empty(total, np.int32) for _ in range(6)]
+        rlens = np.empty(len(results), np.int32)
+        for i, (_, length, raw) in enumerate(results):
+            rlens[i] = length
+            if raw is None:
+                continue
+            o, n = int(offs[i]), raw[0]
+            for a, src in zip(cat, raw[1:7]):
+                a[o : o + n] = src
+        rpos, cid, cpos, sbits, hi, lo = cat
+        sel_b, no_b = self._chain_sel.chain_select_batch(
+            cid, cpos, rpos, sbits, offs, rlens,
+            self.k, self._chain_z, 0, 0.0,
+        )
+        sel = np.frombuffer(sel_b, np.int32)
+        no = np.frombuffer(no_b, np.int32)
+        out = []
+        for i, (name, length, raw) in enumerate(results):
+            a, b = int(no[i]), int(no[i + 1])
+            if b == a:
+                out.append((name, length, None))
+                continue
+            s = sel[a:b]
+            out.append((
+                name, length,
+                (
+                    b - a,
+                    np.ascontiguousarray(rpos[s]),
+                    np.ascontiguousarray(cid[s]),
+                    np.ascontiguousarray(cpos[s]),
+                    np.ascontiguousarray(sbits[s]),
+                    np.ascontiguousarray(hi[s]),
+                    np.ascontiguousarray(lo[s]),
+                ),
+            ))
+        return out
+
     def _one_raw(self, name: str, codes):
         if not isinstance(codes, np.ndarray):
             codes = nthash_np.encode(codes)
@@ -178,7 +229,10 @@ class HostMapper:
     TASK_READS = 64
 
     def _one_block(self, items):
-        return [self._one(name, codes) for name, codes in items]
+        results = [self._one_raw(name, codes) for name, codes in items]
+        if self.prechained:
+            results = self._select_block(results)
+        return results
 
     def _pool(self) -> ThreadPoolExecutor:
         # ONE persistent pool per mapper, shared across map_stream_raw

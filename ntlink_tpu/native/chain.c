@@ -943,7 +943,99 @@ done:
     return result;
 }
 
+/* Batched chain selection: one GIL crossing per read BLOCK. Returns
+ * (sel_bytes, offs_bytes): int32 GLOBAL indices into the concatenated
+ * anchor arrays (accepted anchors, final order) plus int32[n_reads+1]
+ * prefix offsets into that selection. */
+static PyObject *Chainer_chain_select_batch(ChainerObject *self,
+                                            PyObject *args)
+{
+    Py_buffer cids_v, cpos_v, rpos_v, sbits_v, offs_v, rlens_v;
+    long k, z;
+    int sensitive;
+    double x;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*llid", &cids_v, &cpos_v,
+                          &rpos_v, &sbits_v, &offs_v, &rlens_v, &k, &z,
+                          &sensitive, &x))
+        return NULL;
+    const int32_t *cids = cids_v.buf;
+    const int32_t *cpos = cpos_v.buf;
+    const int32_t *rpos = rpos_v.buf;
+    const int32_t *sbits = sbits_v.buf;
+    const int64_t *offs = offs_v.buf;
+    const int32_t *rlens = rlens_v.buf;
+    Py_ssize_t n_reads = offs_v.len / 8 - 1;
+    PyObject *result = NULL;
+    Scratch s;
+    I32Buf sel = {NULL, 0, 0};
+    int32_t *new_offs = NULL;
+    int failed = 0;
+    memset(&s, 0, sizeof(s));
+    Py_ssize_t max_n = 1;
+    for (Py_ssize_t i = 0; i < n_reads; i++) {
+        Py_ssize_t n = (Py_ssize_t)(offs[i + 1] - offs[i]);
+        if (n > max_n)
+            max_n = n;
+    }
+    new_offs = PyMem_Malloc(sizeof(int32_t) * (n_reads + 1));
+    if (!new_offs || scratch_reserve(&s, max_n) < 0) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    Py_BEGIN_ALLOW_THREADS
+    new_offs[0] = 0;
+    for (Py_ssize_t i = 0; i < n_reads && !failed; i++) {
+        int64_t o = offs[i];
+        Py_ssize_t n = (Py_ssize_t)(offs[i + 1] - o);
+        Py_ssize_t n_final = 0;
+        if (n)
+            n_final = chain_core(self, cids + o, cpos + o, rpos + o,
+                                 sbits + o, n, rlens[i], k, z, sensitive, x,
+                                 &s);
+        Py_ssize_t n_sel = n_final ? s.final_runs[n_final - 1].end : 0;
+        if (ib_reserve(&sel, (size_t)n_sel) < 0) {
+            failed = 1;
+            break;
+        }
+        for (Py_ssize_t j = 0; j < n_sel; j++)
+            sel.buf[sel.len + j] = (int32_t)(s.final_idx[j] + o);
+        sel.len += n_sel;
+        new_offs[i + 1] = (int32_t)sel.len;
+    }
+    Py_END_ALLOW_THREADS
+    if (failed) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    {
+        PyObject *sel_b = PyBytes_FromStringAndSize(
+            (char *)sel.buf, sel.len * sizeof(int32_t));
+        PyObject *no_b = PyBytes_FromStringAndSize(
+            (char *)new_offs, (n_reads + 1) * sizeof(int32_t));
+        if (sel_b && no_b)
+            result = PyTuple_Pack(2, sel_b, no_b);
+        Py_XDECREF(sel_b);
+        Py_XDECREF(no_b);
+    }
+done:
+    scratch_free(&s);
+    free(sel.buf);
+    PyMem_Free(new_offs);
+    PyBuffer_Release(&cids_v);
+    PyBuffer_Release(&cpos_v);
+    PyBuffer_Release(&rpos_v);
+    PyBuffer_Release(&sbits_v);
+    PyBuffer_Release(&offs_v);
+    PyBuffer_Release(&rlens_v);
+    return result;
+}
+
 static PyMethodDef Chainer_methods[] = {
+    {"chain_select_batch", (PyCFunction)Chainer_chain_select_batch,
+     METH_VARARGS,
+     "chain_select_batch(cids, cpos, rpos, sbits, offsets, read_lens, "
+     "k, z, sensitive, x) -> (global int32 selected-anchor indices, "
+     "int32[n_reads+1] prefix offsets)"},
     {"chain_select", (PyCFunction)Chainer_chain_select, METH_VARARGS,
      "chain_select(cids, cpos, rpos, sbits, read_len, k, z, sensitive, x) "
      "-> int32 bytes of surviving anchor indices (final order)"},

@@ -396,10 +396,12 @@ def map_reads(
         # to the generic object path only if the C chainer didn't build
         from .host_map import HostMapper
 
-        host = HostMapper(
-            index, cfg.k, cfg.w, threads=cfg.t,
-            prechain=_prechain_args(cfg, index, contig_lengths),
-        )
+        # host-only: chaining stays on the CONSUMER thread (chain_batch) —
+        # it overlaps the workers' sketching there, effectively a 5th
+        # compute lane; prechaining in the workers measured ~5% slower.
+        # (The hybrid path prechains its host leg because the consumer is
+        # busy driving the device and payloads must match the device's.)
+        host = HostMapper(index, cfg.k, cfg.w, threads=cfg.t)
         chainer = _make_native_chainer(host, contig_lengths)
         if chainer is not None:
             mapper = host
