@@ -366,9 +366,10 @@ def _kernel_bench():
 def device_run() -> None:
     """Child-process entry: device mapping throughput, one JSON line.
 
-    Exercises the full production path: native C FASTA reader -> packed
-    device batches -> fused sketch+join -> native C chain_batch with
-    verbose rendering -> pair tally (pipeline.map_reads).
+    Exercises the full production verbose=False path: native C FASTA
+    reader -> packed device batches -> fused sketch+join+chain on-chip ->
+    O(runs) summary payload -> pair tally (pipeline.map_reads). Artifact
+    config matches the strong-host baseline leg (no verbose/PAF).
     """
     from ntlink_tpu import pipeline
     from ntlink_tpu.config import ScaffoldConfig
@@ -418,9 +419,17 @@ def device_run() -> None:
 
     # one DeviceMapper for every device-leg run: the index transfers to the
     # chip once and the jit caches stay warm across repeats (matches how a
-    # production run holds the index resident for the whole read sweep)
+    # production run holds the index resident for the whole read sweep).
+    # prechain turns ON the on-device chaining stage and runs_only ships
+    # O(runs) summaries — the production verbose=False configuration,
+    # matching the strong-host leg's artifact config (it also maps with
+    # no verbose/PAF rendering), so the comparison is like for like.
+    clen = np.zeros(len(index.contig_names), np.int32)
+    for i, nme in enumerate(index.contig_names):
+        clen[i] = contig_lengths[nme]
     dm = DeviceMapper(
-        index, K, W, batch_bases=batch_bases, with_hashes=cfg.repeats
+        index, K, W, batch_bases=batch_bases, with_hashes=cfg.repeats,
+        prechain=(clen, Z), runs_only=True,
     )
     # warmup (compiles the bucket shapes used by the run)
     warm_fa = "/tmp/ntlink_bench_warm.fa"
@@ -442,8 +451,7 @@ def device_run() -> None:
     for _ in range(4):
         t0 = time.time()
         tally = pipeline.map_reads(
-            cfg, index, contig_lengths, "/tmp/ntlink_bench.verbose.tsv", None,
-            mapper=dm,
+            cfg, index, contig_lengths, None, None, mapper=dm,
         )
         dt = time.time() - t0
         dev_runs += 1
@@ -518,7 +526,12 @@ def device_run() -> None:
         from ntlink_tpu.host_map import HostMapper
         from ntlink_tpu.hybrid_map import HybridMapper
 
-        hm = HybridMapper(dm, HostMapper(index, K, W, threads=4))
+        hm = HybridMapper(
+            dm,
+            HostMapper(
+                index, K, W, threads=4, prechain=(clen, Z), runs_only=True
+            ),
+        )
         hyb_cfg = ScaffoldConfig(
             k=K, w=W, z=Z, reads=[reads_fa], batch_bases=batch_bases,
             backend="hybrid", t=4,

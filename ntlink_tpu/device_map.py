@@ -52,18 +52,18 @@ def _single_device_step():
     from .parallel.mesh import mapping_step_packed
 
     @functools.partial(
-        jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+        jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
     )
     def jstep(packed, lengths, t_bkt, t_off, chain_clen,
               k, w, L_, mask, probes, anchors, pallas_flag, with_hashes,
-              pack_gpos, do_chain, chain_z, nmask=None):
+              pack_gpos, do_chain, chain_z, emit_runs, nmask=None):
         return mapping_step_packed(
             packed, lengths, t_bkt,
             k, w, L_, mask, probes, anchors, use_pallas=pallas_flag,
             with_hashes=with_hashes, nmask=nmask,
             t_off=t_off if pack_gpos else None,
             chain_clen=chain_clen if do_chain else None,
-            chain_z=chain_z,
+            chain_z=chain_z, emit_runs=emit_runs,
         )
 
     return jstep
@@ -76,7 +76,7 @@ class DeviceMapper:
     def __init__(self, index: ContigIndex, k: int, w: int,
                  batch_bases: int = 8_000_000, use_mesh: bool = True,
                  with_hashes: bool = True, index_sharding: str = "replicated",
-                 idx_shards: int = 0, prechain=None):
+                 idx_shards: int = 0, prechain=None, runs_only: bool = False):
         from .jax_setup import configure
 
         configure()
@@ -140,10 +140,18 @@ class DeviceMapper:
                 self._chain_z = int(z)
                 self._chain_sel = cm.Chainer(clen_np, index.contig_names)
                 self.prechained = True
+        # runs-only payload (non-verbose/non-PAF runs): the step ships
+        # O(runs) summaries (mesh.summarize_runs_device) instead of
+        # per-anchor planes — ~10x less D2H on the dominant direction.
+        # Requires the on-device chaining stage (prechained).
+        self.runs_only = bool(runs_only) and self.prechained
         self._steps: Dict[Tuple[int, int], object] = {}
         # observed-anchor-volume cap per pad bucket (process-wide so warmup
-        # teaches later mapper instances); see drain()
-        self._flat_caps = _FLAT_CAPS.setdefault((k, w), {})
+        # teaches later mapper instances); see drain(). Runs-mode volumes
+        # are ~10x smaller, so they learn their own cap table.
+        self._flat_caps = _FLAT_CAPS.setdefault(
+            (k, w, "runs") if self.runs_only else (k, w), {}
+        )
         # reads that bypassed the device (sub-k, > MAX_PAD, or slot
         # overflow) and re-mapped on the single-threaded exact host path
         self.host_fallbacks = 0
@@ -178,7 +186,7 @@ class DeviceMapper:
                 make_mesh(), self.k, self.w, L, self.didx.mask,
                 self.didx.max_probes, key[1], with_hashes=self.with_hashes,
                 chain_clen=self._clen_dev if self.prechained else None,
-                chain_z=self._chain_z,
+                chain_z=self._chain_z, emit_runs=self.runs_only,
             )
         else:
             from .ops.sketch_pallas import pallas_mode
@@ -202,7 +210,7 @@ class DeviceMapper:
                 (pmode if packed.shape[0] % 8 == 0 else False)
                 if nmask is None else False,
                 self.with_hashes, pack, self.prechained, self._chain_z,
-                nmask,
+                self.runs_only, nmask,
             )
         self._steps[key] = step
         return step
@@ -248,6 +256,20 @@ class DeviceMapper:
         cid = np.ascontiguousarray(cid[found].astype(np.int32))
         cpos = np.ascontiguousarray(cpos[found].astype(np.int32))
         sbits = np.ascontiguousarray(sbits)
+        if self.runs_only:
+            # payload contract is per-RUN summaries: run the full exact C
+            # chain and keep only the run rows (chain.c row layout [cid,
+            # count, f_cpos, f_rpos, f_sbits, l_cpos, l_rpos, l_sbits])
+            runs_b, _, _, _ = self._chain_sel.chain_batch(
+                cid, cpos, rpos, sbits,
+                np.array([0, n], np.int64),
+                np.array([len(codes)], np.int32),
+                None, self.k, self._chain_z, 0, 0.0, 0, 0,
+            )
+            rr = np.frombuffer(runs_b, np.int32).reshape(-1, 8)
+            if rr.shape[0] == 0:
+                return None
+            return (rr.shape[0], rr)
         if self.prechained:
             # the payload contract for this mapper is PRE-CHAINED anchors
             # (on-device chaining) — apply the identical acceptance stages
@@ -282,6 +304,7 @@ class DeviceMapper:
         self, named_seqs: Iterable[Tuple[str, str]]
     ) -> Iterator[Tuple[str, int, List[Tuple[str, AnchorHit]]]]:
         """Yield (read_name, read_len, [(contig, AnchorHit)...]) in order."""
+        assert not self.runs_only, "runs-only payloads have no per-hit view"
         names = self.contig_names
         for name, length, raw in self.map_stream_raw(named_seqs):
             if raw is None:
@@ -355,8 +378,10 @@ class DeviceMapper:
         from .stream_pipeline import (
             DevicePipeline,
             finish_flat_stream,
+            finish_runs_stream,
             split_n_rows,
             start_flat_stream,
+            start_runs_stream,
         )
 
         def flush_bucket(key: tuple, idxs: List[int]) -> None:
@@ -433,10 +458,17 @@ class DeviceMapper:
                 _t("dispatch", t0)
                 t0 = time_mod.perf_counter()
             # adaptive capped-transfer protocol (shared with the sketch
-            # stream): meta + anchor prefix start streaming now, async
-            sliced = start_flat_stream(
-                out, self._flat_caps, pad, stats=self.wire_stats
-            )
+            # stream): meta + anchor prefix start streaming now, async.
+            # Runs mode ships ONE object (meta packed in flat row 0).
+            if self.runs_only:
+                sliced = start_runs_stream(
+                    out, self._flat_caps, pad, int(lengths.shape[0]),
+                    stats=self.wire_stats,
+                )
+            else:
+                sliced = start_flat_stream(
+                    out, self._flat_caps, pad, stats=self.wire_stats
+                )
             if timing_on:
                 _t("slice_copyasync", t0)
                 t0 = time_mod.perf_counter()
@@ -446,6 +478,55 @@ class DeviceMapper:
 
         def drain(out, sliced, pad, rows, row_codes, lengths) -> None:
             B = int(lengths.shape[0])
+            pack = getattr(self.didx, "t_off", None) is not None
+            if self.runs_only:
+                # O(runs) payload: ONE D2H wait (meta in flat row 0; see
+                # mesh.summarize_runs_device). Decode to the chain.c
+                # run-row layout [cid, count, f_cpos, f_rpos, f_sbits,
+                # l_cpos, l_rpos, l_sbits] once per batch; per-read raws
+                # are row views. slots == RUN_LANES, so n_mins > slots
+                # routes run-lane overflow rows to the exact host path.
+                t0 = time_mod.perf_counter() if timing_on else 0.0
+                count, n_mins, offs, total, planes = finish_runs_stream(
+                    out, sliced, B, int((lengths > 0).sum()),
+                    self._flat_caps, pad, stats=self.wire_stats,
+                )
+                if timing_on:
+                    _t("drain_runs_wait", t0)
+                slots = int(out["flat"].shape[1]) // B
+                runs_mat = None
+                if total:
+                    if pack:
+                        cnt_all = planes[0][:total]
+                        cid_all, f_cpos = self.didx.decode_gpos(
+                            planes[1][:total]
+                        )
+                        _, l_cpos = self.didx.decode_gpos(planes[2][:total])
+                        f_rw, l_rw = planes[3][:total], planes[4][:total]
+                    else:
+                        cid_all, cnt_all = planes[0][:total], planes[1][:total]
+                        f_cpos, l_cpos = planes[2][:total], planes[3][:total]
+                        f_rw, l_rw = planes[4][:total], planes[5][:total]
+                    runs_mat = np.empty((total, 8), np.int32)
+                    runs_mat[:, 0] = cid_all
+                    runs_mat[:, 1] = cnt_all
+                    runs_mat[:, 2] = f_cpos
+                    runs_mat[:, 3] = f_rw & 0x1FFFFFFF
+                    runs_mat[:, 4] = (f_rw >> 29) & 3
+                    runs_mat[:, 5] = l_cpos
+                    runs_mat[:, 6] = l_rw & 0x1FFFFFFF
+                    runs_mat[:, 7] = (l_rw >> 29) & 3
+                for row, i in rows.items():
+                    n = int(count[row])
+                    if n_mins[row] > slots:  # run-lane overflow: exact host
+                        results[i] = self._host_map_raw(row_codes[row])
+                        continue
+                    if n == 0:
+                        results[i] = None
+                        continue
+                    o = int(offs[row])
+                    results[i] = (n, runs_mat[o : o + n])
+                return
             t0 = time_mod.perf_counter() if timing_on else 0.0
             tw = time_mod.perf_counter()
             meta = np.asarray(out["meta"])
@@ -462,7 +543,6 @@ class DeviceMapper:
             )
             if timing_on:
                 _t("drain_flat_wait", t0)
-            pack = getattr(self.didx, "t_off", None) is not None
             has_r16 = out.get("r16") is not None
             g0 = 0 if has_r16 else 1  # gpos/cid plane index
             if total:
@@ -504,7 +584,15 @@ class DeviceMapper:
                     lo,
                 )
 
-        pipe = DevicePipeline(dispatch_batch, drain, name="ntlink-map")
+        # queue depth bounds in-flight batches (device memory + tunnel
+        # queueing). Deeper queues start the async D2H copies of later
+        # batches earlier, hiding the per-object transfer latency that
+        # dominates a tunneled link; 4 measured best there while staying
+        # modest on device memory (4 x batch_bases packed codes).
+        depth = int(os.environ.get("NTLINK_PIPE_DEPTH", "4"))
+        pipe = DevicePipeline(
+            dispatch_batch, drain, depth=depth, name="ntlink-map"
+        )
 
         def ready_results():
             # deliver strictly in input order, as soon as a read's batch has

@@ -35,7 +35,7 @@ class HostMapper:
 
     def __init__(self, index: ContigIndex, k: int, w: int,
                  threads: int = 4, depth: Optional[int] = None,
-                 prechain=None):
+                 prechain=None, runs_only: bool = False):
         index.finalize()
         self.index = index
         self.k, self.w = k, w
@@ -60,6 +60,10 @@ class HostMapper:
                 )
                 self._chain_z = int(z)
                 self.prechained = True
+        # runs-only payloads (non-verbose/non-PAF runs): the workers run
+        # the FULL exact C chain (chain_batch) and ship only the per-run
+        # summary rows — matches a runs_only DeviceMapper's payload
+        self.runs_only = bool(runs_only) and self.prechained
         # bounded look-ahead keeps memory O(depth * read_len) while letting
         # the pool stay busy ahead of the in-order consumer
         self.depth = depth or max(64, 16 * self.threads)
@@ -114,6 +118,8 @@ class HostMapper:
 
     def _one(self, name: str, codes):
         name, length, raw = self._one_raw(name, codes)
+        if self.runs_only:
+            return self._runs_block([(name, length, raw)])[0]
         return name, length, self._select(length, raw)
 
     def _select_block(self, results):
@@ -228,8 +234,47 @@ class HostMapper:
     #: the 4 cores, was the binding resource)
     TASK_READS = 64
 
+    def _runs_block(self, results):
+        """Runs-only payloads: ONE GIL-released chain_batch call over the
+        block's concatenated anchors (full exact filters), shipping only
+        the per-run summary rows [cid, count, f_cpos, f_rpos, f_sbits,
+        l_cpos, l_rpos, l_sbits] — the tally consumes nothing else."""
+        counts = [
+            (raw[0] if raw is not None else 0) for _, _, raw in results
+        ]
+        total = sum(counts)
+        if total == 0:
+            return [(name, length, None) for name, length, _ in results]
+        offs = np.zeros(len(results) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        cat = [np.empty(total, np.int32) for _ in range(4)]
+        rlens = np.empty(len(results), np.int32)
+        for i, (_, length, raw) in enumerate(results):
+            rlens[i] = length
+            if raw is None:
+                continue
+            o, n = int(offs[i]), raw[0]
+            for a, src in zip(cat, raw[1:5]):
+                a[o : o + n] = src
+        rpos, cid, cpos, sbits = cat
+        runs_b, ro_b, _, _ = self._chain_sel.chain_batch(
+            cid, cpos, rpos, sbits, offs, rlens,
+            None, self.k, self._chain_z, 0, 0.0, 0, 0,
+        )
+        rr = np.frombuffer(runs_b, np.int32).reshape(-1, 8)
+        ro = np.frombuffer(ro_b, np.int32)
+        out = []
+        for i, (name, length, _) in enumerate(results):
+            a, b = int(ro[i]), int(ro[i + 1])
+            out.append(
+                (name, length, (b - a, rr[a:b]) if b > a else None)
+            )
+        return out
+
     def _one_block(self, items):
         results = [self._one_raw(name, codes) for name, codes in items]
+        if self.runs_only:
+            return self._runs_block(results)
         if self.prechained:
             results = self._select_block(results)
         return results

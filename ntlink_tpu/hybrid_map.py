@@ -502,6 +502,8 @@ class HybridMapper(HybridStream):
         # mapper to match the device mapper's mode
         self.prechained = getattr(device_mapper, "prechained", False)
         assert self.prechained == getattr(host_mapper, "prechained", False)
+        self.runs_only = getattr(device_mapper, "runs_only", False)
+        assert self.runs_only == getattr(host_mapper, "runs_only", False)
 
     def map_stream_raw(
         self, named_codes: Iterable[Tuple[str, object]]

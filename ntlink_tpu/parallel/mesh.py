@@ -462,11 +462,76 @@ def chain_anchors_device(found, cid, cpos, rlens, clen, z, k: int):
     return keep & ~overflow[:, None], overflow
 
 
+def summarize_runs_device(keep, cid, cpos, rposw):
+    """Per-read run summaries from accepted anchors — the exact semantics
+    of chain.c's prechained grouping (consecutive kept anchors with the
+    same cid form one merged run) plus the per-run fields the pair tally
+    consumes (pairs.PairTally._add reads only contig / hit_count /
+    first_hit / terminal_hit; reference ntlink_pair.py:416-435).
+
+    Returns (valid (B, RUN_LANES) bool in read order, run_cid, count,
+    f_cpos, l_cpos, f_rposw, l_rposw — all (B, RUN_LANES) int32). The
+    caller guarantees rows with more than RUN_LANES pre-merge runs were
+    already wiped from `keep` (chain_anchors_device overflow), so run
+    indices never clip.
+    """
+    B, S = keep.shape
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    lane = jnp.arange(S, dtype=jnp.int32)[None, :]
+    ccid = jnp.maximum(cid, 0)
+
+    # previous / next kept anchor's cid (same cummax trick as
+    # chain_anchors_device step 3; the reversed key ranks SMALLER lanes
+    # higher so the suffix cummax finds the nearest following kept anchor)
+    pk = jnp.where(keep, (lane << 13) | ccid, jnp.int32(-1))
+    cm = jax.lax.cummax(pk, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), cm[:, :-1]], axis=1
+    )
+    prev_cid = jnp.where(prev >= 0, prev & 0x1FFF, -1)
+    runstart = keep & (prev_cid != ccid)
+    pk2 = jnp.where(keep, ((S - 1 - lane) << 13) | ccid, jnp.int32(-1))
+    cmr = jax.lax.cummax(jnp.flip(pk2, axis=1), axis=1)
+    nxt = jnp.flip(
+        jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32), cmr[:, :-1]], axis=1
+        ),
+        axis=1,
+    )
+    next_cid = jnp.where(nxt >= 0, nxt & 0x1FFF, -1)
+    runend = keep & (next_cid != ccid)
+
+    R = RUN_LANES
+    rid = jnp.cumsum(runstart.astype(jnp.int32), axis=1) - 1
+    rid = jnp.minimum(rid, R)  # safety clip; overflow rows are pre-wiped
+    t_any = jnp.where(keep, rid, R)          # dump lane R
+    t_s = jnp.where(runstart, rid, R)        # unique per run
+    t_e = jnp.where(runend, rid, R)          # unique per run
+    count = jnp.zeros((B, R + 1), jnp.int32).at[rows, t_any].add(
+        1, mode="drop"
+    )[:, :R]
+
+    def scat(vals, tgt):
+        return jnp.zeros((B, R + 1), vals.dtype).at[rows, tgt].set(
+            vals, mode="drop"
+        )[:, :R]
+
+    return (
+        count > 0,
+        scat(ccid, t_s),
+        count,
+        scat(cpos, t_s),
+        scat(cpos, t_e),
+        scat(rposw, t_s),
+        scat(rposw, t_e),
+    )
+
+
 def mapping_step_packed(packed, lengths, t_bkt,
                         k: int, w: int, L: int, mask: int, max_probes: int,
                         max_anchors: int, use_pallas: bool = False,
                         with_hashes: bool = True, nmask=None, t_off=None,
-                        chain_clen=None, chain_z=None):
+                        chain_clen=None, chain_z=None, emit_runs: bool = False):
     """Fused mapping step: unpack -> sketch -> compact minimizers ->
     bucket hash-join -> [optional on-device chaining] -> global anchor
     compaction. Outputs are O(anchors), not
@@ -538,6 +603,52 @@ def mapping_step_packed(packed, lengths, t_bkt,
             found, cid, cpos, lengths, chain_clen, chain_z, k
         )
         overflow_rows = overflow_rows | chain_overflow
+
+    if emit_runs:
+        # O(runs) payload (non-verbose/non-PAF runs): the pair tally reads
+        # only each merged run's cid / anchor count / first / terminal
+        # anchor, so only those ship — ~32 B per RUN instead of ~10 B per
+        # ANCHOR x ~dozens of anchors per read, a ~10x cut of the dominant
+        # D2H direction. Requires the on-device chaining stage (callers
+        # gate on prechained).
+        assert chain_clen is not None and not with_hashes
+        rposw = (
+            m_pos
+            | (cstrand.astype(jnp.int32) << 29)
+            | (m_fwd.astype(jnp.int32) << 30)
+        )
+        rvalid, r_cid, r_cnt, f_cpos, l_cpos, f_rposw, l_rposw = (
+            summarize_runs_device(found, cid, cpos, rposw)
+        )
+        B_ = rvalid.shape[0]
+        takef = compact_flat(rvalid.reshape(-1), B_ * RUN_LANES)
+        if t_off is not None:
+            gp = lambda cp: jax.lax.bitcast_convert_type(
+                t_off[r_cid] + cp.astype(jnp.uint32), jnp.int32
+            )
+            planes = [r_cnt, gp(f_cpos), gp(l_cpos), f_rposw, l_rposw]
+        else:
+            planes = [r_cid, r_cnt, f_cpos, l_cpos, f_rposw, l_rposw]
+        # overflow rows report past the run-lane budget in the meta's
+        # n_minimizers half: the drain's slot-overflow branch (slots =
+        # flat width / B = RUN_LANES here) re-maps them exactly on host.
+        # The meta rides as ROW 0 of the flat tensor (2B <= B*RUN_LANES):
+        # the whole batch then drains with ONE D2H object — on a
+        # latency-heavy tunnel each separate transfer costs a fixed
+        # ~0.1-0.3 s wait, which dominated the runs-mode payload
+        meta = jnp.concatenate([
+            rvalid.sum(axis=1).astype(jnp.int32),
+            jnp.where(overflow_rows, RUN_LANES + 1, 0).astype(jnp.int32),
+        ])
+        meta_row = jnp.zeros((B_ * RUN_LANES,), jnp.int32).at[
+            : 2 * B_
+        ].set(meta)
+        return {
+            "flat": jnp.stack([meta_row] + [takef(p) for p in planes],
+                              axis=0),
+            "n_anchors": found.sum(),
+        }
+
     # selection/chain-overflow rows report n_minimizers past the slot
     # budget: the drain's existing slot-overflow branch re-maps them
     # exactly on the host (adversarial inputs only in practice)
@@ -751,39 +862,44 @@ def pack_codes(codes: np.ndarray) -> np.ndarray:
 def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
                               mask: int, max_probes: int, max_anchors: int,
                               with_hashes: bool = True,
-                              chain_clen=None, chain_z: int = 0):
+                              chain_clen=None, chain_z: int = 0,
+                              emit_runs: bool = False):
     """jit the packed mapping step with batch rows sharded over the data
     axis and the table replicated; XLA inserts the collectives.
     `chain_clen` ((n_contigs,) int32, replicated like the table) enables
     the on-device chaining stage (chain_anchors_device) — per-row masked
-    ops only, so it shards over `data` like the rest of the step."""
+    ops only, so it shards over `data` like the rest of the step.
+    `emit_runs` additionally switches the payload to O(runs) summaries
+    (summarize_runs_device); requires chain_clen."""
     data_sharding = NamedSharding(mesh, P("data", None))
     repl = NamedSharding(mesh, P())
     do_chain = chain_clen is not None
+    assert not (emit_runs and not do_chain)
     clen_op = (
         jnp.asarray(chain_clen) if do_chain else jnp.zeros(1, jnp.int32)
     )
 
     @functools.partial(
         jax.jit,
-        static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13),
+        static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14),
         in_shardings=(
             data_sharding, NamedSharding(mesh, P("data")), repl, repl, repl,
         ),
     )
     def step(packed, lengths, t_bkt, t_off, clen,
              k_, w_, L_, mask_, probes_, anchors_, with_hashes_, pack_gpos_,
-             do_chain_):
+             do_chain_, emit_runs_):
         return mapping_step_packed(
             packed, lengths, t_bkt,
             k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
             t_off=t_off if pack_gpos_ else None,
             chain_clen=clen if do_chain_ else None, chain_z=chain_z,
+            emit_runs=emit_runs_,
         )
 
     @functools.partial(
         jax.jit,
-        static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14),
+        static_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
         in_shardings=(
             data_sharding, NamedSharding(mesh, P("data")), repl, repl, repl,
             data_sharding,
@@ -791,13 +907,14 @@ def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
     )
     def step_n(packed, lengths, t_bkt, t_off, clen, nmask,
                k_, w_, L_, mask_, probes_, anchors_, with_hashes_,
-               pack_gpos_, do_chain_):
+               pack_gpos_, do_chain_, emit_runs_):
         # N batch: rows shard like the code rows; compacted-window kernel
         return mapping_step_packed(
             packed, lengths, t_bkt,
             k_, w_, L_, mask_, probes_, anchors_, with_hashes=with_hashes_,
             nmask=nmask, t_off=t_off if pack_gpos_ else None,
             chain_clen=clen if do_chain_ else None, chain_z=chain_z,
+            emit_runs=emit_runs_,
         )
 
     def run(packed, lengths, didx, nmask=None):
@@ -809,10 +926,12 @@ def make_sharded_mapping_step(mesh: Mesh, k: int, w: int, L: int,
             return step(
                 packed, lengths, didx.t_bkt, t_off, clen_op, k, w, L, mask,
                 max_probes, max_anchors, with_hashes, pack, do_chain,
+                emit_runs,
             )
         return step_n(
             packed, lengths, didx.t_bkt, t_off, clen_op, nmask, k, w, L,
             mask, max_probes, max_anchors, with_hashes, pack, do_chain,
+            emit_runs,
         )
 
     return run

@@ -110,7 +110,7 @@ def _prechain_args(cfg: ScaffoldConfig, index: ContigIndex, contig_lengths):
 
 
 def _make_device_mapper(cfg: ScaffoldConfig, index: ContigIndex,
-                        contig_lengths=None):
+                        contig_lengths=None, runs_only: bool = False):
     if cfg.backend == "numpy":
         return None
     try:
@@ -121,6 +121,7 @@ def _make_device_mapper(cfg: ScaffoldConfig, index: ContigIndex,
             with_hashes=cfg.repeats, index_sharding=cfg.index_sharding,
             idx_shards=cfg.idx_shards,
             prechain=_prechain_args(cfg, index, contig_lengths),
+            runs_only=runs_only,
         )
     except Exception as exc:  # pragma: no cover - no jax available
         if cfg.backend == "jax":
@@ -287,6 +288,42 @@ def _map_reads_native(cfg, mapper, chainer, tally, contig_lengths, verbose_fh,
     return n_reads
 
 
+def _map_reads_runs(cfg, mapper, tally):
+    """Runs-only hot loop: the mappers ship per-run summary rows [cid,
+    count, f_cpos, f_rpos, f_sbits, l_cpos, l_rpos, l_sbits] (chaining
+    already applied on-device / in C workers), so the consumer does no
+    chaining at all — single-run reads are a pure counter bump and only
+    multi-run reads build Python objects (the pair tally is a no-op below
+    2 runs; reference ntlink_pair.py:416-435). No verbose/PAF here: those
+    need per-anchor payloads (map_reads gates)."""
+    from .mapping import AnchorHit as AH, RunView
+    from .seqio.fastx import stream_codes
+
+    names = mapper.contig_names
+    n_reads = 0
+    for reads_file, codes_iter in prefetch_files(
+        cfg.reads, stream_codes, threads=cfg.t
+    ):
+        log("Mapping reads", reads_file, "(runs-only payload)")
+        for name, read_len, raw in mapper.map_stream_raw(codes_iter):
+            n_reads += 1
+            if raw is None or raw[0] < 2:
+                continue
+            runs = [
+                RunView(
+                    names[r0],
+                    r1,
+                    AH(0, r2, "+" if r4 & 1 else "-",
+                       r3, "+" if r4 & 2 else "-"),
+                    AH(0, r5, "+" if r7 & 1 else "-",
+                       r6, "+" if r7 & 2 else "-"),
+                )
+                for r0, r1, r2, r3, r4, r5, r6, r7 in raw[1].tolist()
+            ]
+            tally.add_read(runs, read_len)
+    return n_reads
+
+
 def _map_reads_generic(cfg, mapper, index, tally, contig_lengths,
                        verbose_fh, paf_fh):
     """General path: per-hit objects (needed for PAF output / repeat filter)."""
@@ -361,7 +398,14 @@ def map_reads(
     paf_fh = open(paf_tmp, "wb") if paf_path else None
 
     if mapper is None:
-        mapper = _make_device_mapper(cfg, index, contig_lengths)
+        mapper = _make_device_mapper(
+            cfg, index, contig_lengths,
+            # non-verbose/non-PAF runs ship O(runs) summaries instead of
+            # per-anchor payloads (~10x less D2H; the pair tally consumes
+            # only run endpoints) — the reference's default `pair` config
+            # (verbose is opt-in, reference ntLink:204-219)
+            runs_only=(verbose_path is None and paf_path is None),
+        )
     chainer = None
     if mapper is not None:
         chainer = _make_native_chainer(mapper, contig_lengths)
@@ -386,6 +430,7 @@ def map_reads(
                         _prechain_args(cfg, index, contig_lengths)
                         if getattr(mapper, "prechained", False) else None
                     ),
+                    runs_only=getattr(mapper, "runs_only", False),
                 ),
                 cfg.hybrid_host_frac,
             )
@@ -407,7 +452,16 @@ def map_reads(
             mapper = host
 
     try:
-        if chainer is not None:
+        if getattr(mapper, "runs_only", False):
+            # O(runs) payloads carry no per-anchor data — incompatible
+            # with verbose/PAF rendering by construction (map_reads only
+            # builds runs_only mappers when neither is requested)
+            if verbose_fh or paf_fh:
+                raise ValueError(
+                    "runs_only mapper cannot render verbose/PAF artifacts"
+                )
+            n_reads = _map_reads_runs(cfg, mapper, tally)
+        elif chainer is not None:
             n_reads = _map_reads_native(
                 cfg, mapper, chainer, tally, contig_lengths, verbose_fh,
                 paf_fh
@@ -482,7 +536,10 @@ def pair_stage(cfg: ScaffoldConfig) -> str:
             # ntlink_pair.py:382-388)
             import dataclasses
 
-            mapper = _make_device_mapper(cfg, index, contig_lengths)
+            mapper = _make_device_mapper(
+                cfg, index, contig_lengths,
+                runs_only=not (cfg.verbose or cfg.paf),
+            )
             per_file_tallies: Dict[int, PairTally] = {}
             verbose_parts: Dict[int, str] = {}
             paf_parts: Dict[int, str] = {}

@@ -175,7 +175,8 @@ def start_flat_stream(out, caps: dict, key, stats: dict = None):
 
 
 def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
-                       caps: dict, key, stats: dict = None):
+                       caps: dict, key, stats: dict = None,
+                       floor: int = 4096):
     """Drain-side half of the capped-transfer protocol.
 
     Computes per-row offsets from `count`, adapts the next dispatch's cap
@@ -196,7 +197,7 @@ def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
     scaled = total * B // max(1, n_filled)
     caps[key] = max(
         caps.get(key, 0),
-        min(width, next_q4(max(13 * scaled // 10, 4096))),
+        min(width, next_q4(max(13 * scaled // 10, floor))),
     )
     flat = None
     r16 = None
@@ -223,6 +224,63 @@ def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
                 stats.get("d2h_s", 0.0) + _time.perf_counter() - tw
             )
     return offs, total, flat, r16
+
+
+def start_runs_stream(out, caps: dict, key, B: int, stats: dict = None):
+    """Dispatch half of the runs-mode transfer protocol: the step packed
+    its per-read meta into ROW 0 of the flat tensor, so the whole batch
+    drains as ONE D2H object (each separate transfer costs a fixed
+    latency on a tunneled link — it, not bandwidth, bounds the tiny
+    runs-only payload). The cap never cuts into the meta (>= 2B lanes)."""
+    width = int(out["flat"].shape[1])
+    cap = min(width, max(caps.get(key, width // 2), 2 * B))
+    sliced = out["flat"][:, :cap]
+    if stats is not None:
+        stats["d2h"] = stats.get("d2h", 0) + sliced.nbytes
+    try:
+        sliced.copy_to_host_async()
+    except Exception:
+        pass
+    return sliced
+
+
+def finish_runs_stream(out, sliced, B: int, n_filled: int, caps: dict, key,
+                       stats: dict = None):
+    """Drain half: ONE wait yields meta row + run planes. Returns
+    (count, n_mins, offs, total, planes) with planes None when empty.
+    Cap adaptation mirrors finish_flat_stream (1.3x headroom, quarter-pow2
+    widths, floor 512 — runs volumes are ~10x smaller than anchors')."""
+    import time as _time
+
+    width = int(out["flat"].shape[1])
+    tw = _time.perf_counter()
+    arr = np.asarray(sliced)
+    if stats is not None:
+        stats["d2h_s"] = stats.get("d2h_s", 0.0) + _time.perf_counter() - tw
+    count, n_mins = arr[0, :B], arr[0, B : 2 * B]
+    offs = np.zeros(B + 1, np.int64)
+    np.cumsum(count, out=offs[1:])
+    total = int(offs[-1])
+    scaled = total * B // max(1, n_filled)
+    caps[key] = max(
+        caps.get(key, 0),
+        min(width, next_q4(max(13 * scaled // 10, 512))),
+    )
+    planes = None
+    if total:
+        if total <= int(arr.shape[1]):
+            planes = arr[1:]
+        else:  # cap undershot: one corrective round trip
+            w2 = min(width, next_q4(total))
+            tw = _time.perf_counter()
+            full = np.asarray(out["flat"][:, :w2])
+            if stats is not None:
+                stats["d2h"] = stats.get("d2h", 0) + full.nbytes
+                stats["d2h_s"] = (
+                    stats.get("d2h_s", 0.0) + _time.perf_counter() - tw
+                )
+            planes = full[1:]
+    return count, n_mins, offs, total, planes
 
 
 def split_n_rows(row_codes: List[np.ndarray], B: int, pad: int):

@@ -113,6 +113,101 @@ def test_random_parity():
         assert np.array_equal(keep[b, : len(exp)], exp), b
 
 
+def test_runs_summary_parity():
+    """summarize_runs_device (the O(runs) D2H payload) must reproduce the
+    native chain.c run rows exactly — cid, merged anchor count, first and
+    terminal anchor fields — over structured + randomized anchor sets,
+    including merge-after-subsume cases."""
+    from ntlink_tpu.native import chain_module
+    from ntlink_tpu.parallel.mesh import summarize_runs_device
+
+    cm = chain_module()
+    if cm is None:
+        pytest.skip("native chain module not built")
+
+    rng = np.random.default_rng(23)
+    clen = rng.integers(200, 8000, 12).astype(np.int32)
+    names = [f"c{i}" for i in range(len(clen))]
+    chainer = cm.Chainer(clen, names)
+
+    cases = []
+    # structured: subsume-merge (middle run dooms, flanks merge), triple
+    # sighting, z filter, plus random rows
+    structured = [
+        ([0, 1, 0, 1, 0], [10, 5, 50, 9, 90]),      # c1/c0 self-dooming mix
+        ([0, 3, 0, 1], [10, 5, 50, 7]),              # merge after doom
+        ([5, 5, 5], [10, 30, 60]),                   # one run, count 3
+    ]
+    for cids, cps in structured:
+        n = len(cids)
+        cases.append((
+            np.asarray(cids, np.int32), np.asarray(cps, np.int32),
+            np.arange(0, 10 * n, 10, dtype=np.int32),
+            rng.integers(0, 4, n).astype(np.int32), 2000,
+        ))
+    for _ in range(48):
+        n = int(rng.integers(1, 30))
+        rl = int(rng.integers(500, 4000))
+        cases.append((
+            rng.integers(0, 12, n).astype(np.int32),
+            rng.integers(0, 6000, n).astype(np.int32),
+            np.sort(rng.integers(0, rl, n)).astype(np.int32),
+            rng.integers(0, 4, n).astype(np.int32),
+            rl,
+        ))
+
+    B, S = len(cases), 32
+    found = np.zeros((B, S), bool)
+    cid = np.zeros((B, S), np.int32)
+    cpos = np.zeros((B, S), np.int32)
+    rposw = np.zeros((B, S), np.int32)
+    for b, (cids, cps, rps, sbs, _) in enumerate(cases):
+        n = len(cids)
+        found[b, :n] = True
+        cid[b, :n] = cids
+        cpos[b, :n] = cps
+        rposw[b, :n] = rps | (sbs << 29)
+    rls = np.asarray([c[4] for c in cases], np.int32)
+    keep, overflow = chain_anchors_device(
+        jnp.asarray(found), jnp.asarray(cid), jnp.asarray(cpos),
+        jnp.asarray(rls), jnp.asarray(clen), jnp.int32(Z), K,
+    )
+    assert not np.asarray(overflow).any()
+    valid, r_cid, r_cnt, f_cpos, l_cpos, f_rw, l_rw = (
+        np.asarray(a) for a in summarize_runs_device(
+            keep, jnp.asarray(cid), jnp.asarray(cpos), jnp.asarray(rposw)
+        )
+    )
+
+    # ground truth: native chain.c full filters + run rows
+    offs = np.zeros(B + 1, np.int64)
+    np.cumsum([len(c[0]) for c in cases], out=offs[1:])
+    runs_b, ro_b, _, _ = chainer.chain_batch(
+        np.concatenate([c[0] for c in cases]),
+        np.concatenate([c[1] for c in cases]),
+        np.concatenate([c[2] for c in cases]),
+        np.concatenate([c[3] for c in cases]),
+        offs, rls, None, K, Z, 0, 0.0, 0, 0,
+    )
+    rr = np.frombuffer(runs_b, np.int32).reshape(-1, 8)
+    ro = np.frombuffer(ro_b, np.int32)
+    for b in range(B):
+        exp = rr[ro[b] : ro[b + 1]]
+        nv = int(valid[b].sum())
+        assert nv == exp.shape[0], (b, nv, exp)
+        got = np.stack(
+            [
+                r_cid[b, :nv], r_cnt[b, :nv],
+                f_cpos[b, :nv], f_rw[b, :nv] & 0x1FFFFFFF,
+                (f_rw[b, :nv] >> 29) & 3,
+                l_cpos[b, :nv], l_rw[b, :nv] & 0x1FFFFFFF,
+                (l_rw[b, :nv] >> 29) & 3,
+            ],
+            axis=1,
+        )
+        assert np.array_equal(got, exp), (b, got, exp)
+
+
 def test_run_overflow_flags_row():
     # alternate contigs every anchor -> one run per anchor; > RUN_LANES
     # runs must flag the row (host redo), not silently mis-chain

@@ -43,6 +43,44 @@ def test_pair_stage_jax_backend_matches_numpy(tmp_path, monkeypatch):
         ), artifact
 
 
+def test_pair_stage_runs_only_matches(tmp_path, monkeypatch):
+    """verbose=False engages the O(runs) D2H payload (device chaining +
+    run summaries on-chip; C-worker chain_batch rows on host legs). The
+    DOT and pairs.tsv artifacts must be byte-identical across the numpy
+    (anchors + consumer chaining), jax (runs-only device payload), and
+    hybrid (both legs runs-only) backends."""
+    for f in ("scaffolds_1.fa", "long_reads_1.fa"):
+        shutil.copy(os.path.join(REF_TESTS_DIR, f), tmp_path / f)
+    monkeypatch.chdir(tmp_path)
+
+    outputs = {}
+    for backend in ("numpy", "jax", "hybrid"):
+        os.makedirs(backend)
+        shutil.copy("scaffolds_1.fa", f"{backend}/scaffolds_1.fa")
+        shutil.copy("long_reads_1.fa", f"{backend}/long_reads_1.fa")
+        monkeypatch.chdir(tmp_path / backend)
+        cfg = ScaffoldConfig(
+            target="scaffolds_1.fa", reads=["long_reads_1.fa"], k=32, w=250,
+            z=1000, pairs_tsv=True, verbose=False, backend=backend,
+            batch_bases=2_000_000,
+        )
+        pair_stage(cfg)
+        outputs[backend] = tmp_path / backend
+        monkeypatch.chdir(tmp_path)
+
+    prefix = "scaffolds_1.fa.k32.w250.z1000"
+    for artifact in (f"{prefix}.pairs.tsv", f"{prefix}.n1.scaffold.dot"):
+        for backend in ("jax", "hybrid"):
+            assert filecmp.cmp(
+                outputs["numpy"] / artifact, outputs[backend] / artifact,
+                shallow=False,
+            ), (artifact, backend)
+        # verbose off must mean no verbose artifact
+        assert not os.path.exists(
+            outputs["jax"] / f"{prefix}.verbose_mapping.tsv"
+        )
+
+
 def test_dryrun_multichip():
     import sys
 
