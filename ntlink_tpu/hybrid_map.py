@@ -76,6 +76,7 @@ class _Runner:
         self.closed = False
         self.error: Optional[BaseException] = None
         self.pending_bases = 0
+        self.pending_items = 0
         self.rate = prior_rate          # bases/s EMA over busy spans
         self._span_start = 0.0
         self._span_bases = 0
@@ -103,6 +104,7 @@ class _Runner:
                 self.queue.append((seq, name, codes))
                 self.fifo.append(seq)
                 self.pending_bases += len(codes)
+                self.pending_items += 1
             self.cond.notify()
 
     def close(self) -> None:
@@ -198,6 +200,7 @@ class _Runner:
                     with self.lock:
                         seq = self.fifo.popleft()
                         self.pending_bases -= ln
+                        self.pending_items -= 1
                         self._span_bases += ln
                         self.reads_done += 1
                         self.rescues_since_progress = 0
@@ -298,6 +301,17 @@ class HybridStream:
     DEPTH_S = 1.0
     #: central unassigned backlog (blocks); bounds input read-ahead
     POOL_BLOCKS = 8
+    #: minimum in-flight DEPTH (blocks) per path, independent of the
+    #: learned rate. The time-based rule alone has a self-reinforcing
+    #: fixed point for a high-latency pipelined path (the device behind a
+    #: tunnel): with one block in flight its measured rate is the
+    #: LATENCY-bound rate, which grants ~one block of depth, which keeps
+    #: the rate latency-bound — the path never discovers its pipelined
+    #: throughput. A floor of a few blocks keeps the device's internal
+    #: feed/drain pipeline primed regardless of the measured rate; the
+    #: tail commit it risks is bounded (MIN_DEPTH_BLOCKS blocks) and a
+    #: truly wedged path is already covered by the stall rescue.
+    MIN_DEPTH_BLOCKS = 3
 
     def __init__(self, device, host, host_frac: float = -1.0):
         self.device = device
@@ -332,10 +346,12 @@ class HybridStream:
             if len(sink.buf) > BUF_CAP:
                 return False
         best, best_t = None, None
+        floor_items = self.MIN_DEPTH_BLOCKS * self.BLOCK_READS
         for p in (dev, host):
             with p.lock:
                 t = p.pending_bases / max(p.rate, 1.0)
-            if t < self.DEPTH_S and (best_t is None or t < best_t):
+                hungry = t < self.DEPTH_S or p.pending_items < floor_items
+            if hungry and (best_t is None or t < best_t):
                 best, best_t = p, t
         if best is None:
             return False

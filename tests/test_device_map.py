@@ -81,6 +81,43 @@ def test_pair_stage_runs_only_matches(tmp_path, monkeypatch):
         )
 
 
+def test_runs_only_mapper_rejects_verbose(tmp_path, monkeypatch):
+    """A runs_only mapper reused for a verbose-rendering map_reads call
+    must fail loudly (its payload has no per-anchor data), not silently
+    write a wrong artifact."""
+    import numpy as np
+    import pytest
+
+    from ntlink_tpu import pipeline
+    from ntlink_tpu.index import ContigIndex
+    from ntlink_tpu.device_map import DeviceMapper
+    from ntlink_tpu.native import chain_module
+    from ntlink_tpu.ops import nthash_np
+
+    if chain_module() is None:
+        pytest.skip("native chain module not built")
+    rng = np.random.default_rng(7)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 5000))
+    index = ContigIndex.from_sketches(
+        [("c0", nthash_np.sketch_sequence(seq, 32, 100))]
+    )
+    lengths = {"c0": len(seq)}
+    dm = DeviceMapper(
+        index, 32, 100, prechain=(np.array([len(seq)], np.int32), 1000),
+        runs_only=True,
+    )
+    assert dm.runs_only
+    reads = tmp_path / "r.fa"
+    reads.write_text(f">r0\n{seq[:2000]}\n")
+    cfg = pipeline.ScaffoldConfig(
+        k=32, w=100, z=1000, reads=[str(reads)]
+    )
+    with pytest.raises(ValueError, match="runs_only"):
+        pipeline.map_reads(
+            cfg, index, lengths, str(tmp_path / "v.tsv"), None, mapper=dm
+        )
+
+
 def test_dryrun_multichip():
     import sys
 
