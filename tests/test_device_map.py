@@ -103,7 +103,8 @@ def test_runs_only_mapper_rejects_verbose(tmp_path, monkeypatch):
     )
     lengths = {"c0": len(seq)}
     dm = DeviceMapper(
-        index, 32, 100, prechain=(np.array([len(seq)], np.int32), 1000),
+        index, 32, 100, with_hashes=False,
+        prechain=(np.array([len(seq)], np.int32), 1000),
         runs_only=True,
     )
     assert dm.runs_only
