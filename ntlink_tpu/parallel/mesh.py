@@ -359,6 +359,32 @@ RUN_LANES = 64
 CHAIN_MAX_CONTIGS = 4096
 
 
+#: contig-count threshold for the one-hot noisy-span form: builds a
+#: (B, NC, S) masked-reduction intermediate instead of 3 scatters into
+#: per-(read, contig) tables. TPU scatters serialize; the 3 noisy scatters
+#: measured 15 ms of a 26 ms chain stage at B=1024 S=512, while the
+#: one-hot reductions fuse. 128 bounds the intermediate to ~256 MB at the
+#: largest batch shapes.
+NOISY_ONEHOT_MAX = 128
+
+
+def _mask_lanes(mask, n: int):
+    """Lane indices of the first `n` set bits per row, in order, via
+    top_k (no scatter): returns (lanes (B, n) int32 clipped for gather
+    safety, valid (B, n) bool). Encoding S - lane makes top_k's
+    descending values ascend in lane order."""
+    B, S = mask.shape
+    lane = jnp.arange(S, dtype=jnp.int32)[None, :]
+    vals = jnp.where(mask, S - lane, 0)
+    v, _ = jax.lax.top_k(vals, min(n, S))
+    if S < n:  # short rows: pad to the requested lane count
+        v = jnp.concatenate(
+            [v, jnp.zeros((B, n - S), jnp.int32)], axis=1
+        )
+    valid = v > 0
+    return jnp.where(valid, S - v, 0), valid
+
+
 def chain_anchors_device(found, cid, cpos, rlens, clen, z, k: int):
     """On-device replica of the chaining ACCEPTANCE stages — z filter,
     noisy-span filter, consecutive-run grouping, specific-mode subsume
@@ -384,21 +410,34 @@ def chain_anchors_device(found, cid, cpos, rlens, clen, z, k: int):
     kept0 = found & (clen[cidc] >= z)
 
     # 2. noisy-span filter: per (read, contig) min/max contig position and
-    # anchor count via scatters into (B, NC+1) tables (last col = dump for
-    # non-kept anchors); a contig with >= 2 anchors whose contig span
-    # outruns read_len + k drops entirely (x == 0 branch of chain.c)
-    tcid = jnp.where(kept0, cidc, NC)
-    amin = jnp.full((B, NC + 1), jnp.int32(0x7FFFFFFF)).at[rows, tcid].min(
-        cpos, mode="drop"
-    )
-    amax = jnp.full((B, NC + 1), jnp.int32(-1)).at[rows, tcid].max(
-        cpos, mode="drop"
-    )
-    acnt = jnp.zeros((B, NC + 1), jnp.int32).at[rows, tcid].add(
-        1, mode="drop"
-    )
-    noisy = (acnt >= 2) & ((amax - amin) > (rlens[:, None] + k))
-    kept1 = kept0 & ~jnp.take_along_axis(noisy, tcid, axis=1)
+    # anchor count; a contig with >= 2 anchors whose contig span outruns
+    # read_len + k drops entirely (x == 0 branch of chain.c). Small
+    # contig counts use one-hot masked reductions (fuse on the VPU);
+    # larger ones scatter into (B, NC+1) tables (last col = dump).
+    if NC <= NOISY_ONEHOT_MAX:
+        m = kept0[:, None, :] & (
+            cidc[:, None, :] == jnp.arange(NC, dtype=jnp.int32)[None, :, None]
+        )
+        amin = jnp.min(
+            jnp.where(m, cpos[:, None, :], jnp.int32(0x7FFFFFFF)), axis=2
+        )
+        amax = jnp.max(jnp.where(m, cpos[:, None, :], jnp.int32(-1)), axis=2)
+        acnt = m.sum(axis=2)
+        noisy = (acnt >= 2) & ((amax - amin) > (rlens[:, None] + k))
+        kept1 = kept0 & ~jnp.take_along_axis(noisy, cidc, axis=1)
+    else:
+        tcid = jnp.where(kept0, cidc, NC)
+        amin = jnp.full((B, NC + 1), jnp.int32(0x7FFFFFFF)).at[
+            rows, tcid
+        ].min(cpos, mode="drop")
+        amax = jnp.full((B, NC + 1), jnp.int32(-1)).at[rows, tcid].max(
+            cpos, mode="drop"
+        )
+        acnt = jnp.zeros((B, NC + 1), jnp.int32).at[rows, tcid].add(
+            1, mode="drop"
+        )
+        noisy = (acnt >= 2) & ((amax - amin) > (rlens[:, None] + k))
+        kept1 = kept0 & ~jnp.take_along_axis(noisy, tcid, axis=1)
 
     # 3. consecutive runs over kept anchors WITHOUT compaction: propagate
     # the previous kept anchor's cid with a cummax over (lane << 13 | cid)
@@ -417,11 +456,12 @@ def chain_anchors_device(found, cid, cpos, rlens, clen, z, k: int):
     overflow = run_id[:, -1] + 1 > RUN_LANES
     rid = jnp.where(kept1, jnp.minimum(run_id, RUN_LANES - 1), RUN_LANES)
 
-    # run-level contig ids: scatter the boundary anchors' cids to lanes
-    run_cid = jnp.full((B, RUN_LANES + 1), -1, jnp.int32).at[
-        rows, jnp.where(runstart, rid, RUN_LANES)
-    ].set(cidc, mode="drop")[:, :RUN_LANES]
-    rvalid = run_cid >= 0
+    # run-level contig ids: gather the boundary anchors' cids at the
+    # runstart lanes (top_k extraction, no scatter)
+    rs_lanes, rvalid = _mask_lanes(runstart, RUN_LANES)
+    run_cid = jnp.where(
+        rvalid, jnp.take_along_axis(cidc, rs_lanes, axis=1), -1
+    )
 
     # 4. specific-mode subsume. Reference semantics: every contig sighted
     # strictly between the FIRST occurrence of a contig c and any later
@@ -476,7 +516,6 @@ def summarize_runs_device(keep, cid, cpos, rposw):
     indices never clip.
     """
     B, S = keep.shape
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     lane = jnp.arange(S, dtype=jnp.int32)[None, :]
     ccid = jnp.maximum(cid, 0)
 
@@ -501,29 +540,30 @@ def summarize_runs_device(keep, cid, cpos, rposw):
     next_cid = jnp.where(nxt >= 0, nxt & 0x1FFF, -1)
     runend = keep & (next_cid != ccid)
 
-    R = RUN_LANES
-    rid = jnp.cumsum(runstart.astype(jnp.int32), axis=1) - 1
-    rid = jnp.minimum(rid, R)  # safety clip; overflow rows are pre-wiped
-    t_any = jnp.where(keep, rid, R)          # dump lane R
-    t_s = jnp.where(runstart, rid, R)        # unique per run
-    t_e = jnp.where(runend, rid, R)          # unique per run
-    count = jnp.zeros((B, R + 1), jnp.int32).at[rows, t_any].add(
-        1, mode="drop"
-    )[:, :R]
+    # scatter-free field extraction: top_k finds the runstart/runend
+    # lanes per row in run order (TPU scatters serialize; the 6 run-lane
+    # scatters this replaces measured ~17 ms at B=1024 S=512, the
+    # top_k+gather form ~5 ms), then every per-run field is one gather.
+    # Anchor counts come from gathered inclusive-kept-prefix sums at the
+    # run's boundary anchors (end - start + 1).
+    rs_lanes, rvalid = _mask_lanes(runstart, RUN_LANES)
+    re_lanes, _ = _mask_lanes(runend, RUN_LANES)
+    kc = jnp.cumsum(keep.astype(jnp.int32), axis=1)
 
-    def scat(vals, tgt):
-        return jnp.zeros((B, R + 1), vals.dtype).at[rows, tgt].set(
-            vals, mode="drop"
-        )[:, :R]
+    def g(a, lanes):
+        return jnp.take_along_axis(a, lanes, axis=1)
 
+    count = jnp.where(
+        rvalid, g(kc, re_lanes) - g(kc, rs_lanes) + 1, 0
+    )
     return (
-        count > 0,
-        scat(ccid, t_s),
+        rvalid,
+        g(ccid, rs_lanes),
         count,
-        scat(cpos, t_s),
-        scat(cpos, t_e),
-        scat(rposw, t_s),
-        scat(rposw, t_e),
+        g(cpos, rs_lanes),
+        g(cpos, re_lanes),
+        g(rposw, rs_lanes),
+        g(rposw, re_lanes),
     )
 
 

@@ -113,6 +113,30 @@ def test_random_parity():
         assert np.array_equal(keep[b, : len(exp)], exp), b
 
 
+def test_random_parity_large_contig_count():
+    """> NOISY_ONEHOT_MAX contigs forces the scatter form of the
+    noisy-span filter — parity must hold there too."""
+    from ntlink_tpu.parallel.mesh import NOISY_ONEHOT_MAX
+
+    rng = np.random.default_rng(31)
+    nc = NOISY_ONEHOT_MAX + 72
+    clen = rng.integers(200, 8000, nc).astype(np.int32)
+    rows, expected, rls = [], [], []
+    for _ in range(32):
+        n = int(rng.integers(1, 30))
+        cids = rng.integers(0, nc, n).astype(np.int32)
+        cps = rng.integers(0, 6000, n).astype(np.int32)
+        rl = int(rng.integers(500, 4000))
+        rpos = np.sort(rng.integers(0, rl, n)).astype(np.int32)
+        rows.append((cids, cps))
+        rls.append(rl)
+        expected.append(_host_keep(cids, cps, rpos.tolist(), rl, clen))
+    keep, overflow = _device_keep(rows, clen, rls)
+    assert not overflow.any()
+    for b, exp in enumerate(expected):
+        assert np.array_equal(keep[b, : len(exp)], exp), b
+
+
 def test_runs_summary_parity():
     """summarize_runs_device (the O(runs) D2H payload) must reproduce the
     native chain.c run rows exactly — cid, merged anchor count, first and
