@@ -521,6 +521,10 @@ def device_run() -> None:
     # pure added throughput; on THIS 4-core box the host path alone is
     # near the machine ceiling and the adaptive split tracks whichever
     # path today's tunnel weather favors.
+    # hybrid vs strong-host, INTERLEAVED: the two legs alternate in the
+    # same process minutes apart at most, so the captured comparison sees
+    # the same box CPU load and tunnel weather (separately-timed legs
+    # drifted 20-30% between measurements and could invert the verdict).
     hyb = {}
     try:
         from ntlink_tpu.host_map import HostMapper
@@ -536,9 +540,13 @@ def device_run() -> None:
             k=K, w=W, z=Z, reads=[reads_fa], batch_bases=batch_bases,
             backend="hybrid", t=4,
         )
+        strong_cfg = ScaffoldConfig(
+            k=K, w=W, z=Z, reads=[reads_fa], backend="numpy", t=4
+        )
         pipeline.map_reads(warm_cfg, index, contig_lengths, None, None,
                            mapper=hm)
         best_h, h_tally = None, None
+        best_s, s_tally = None, None
         for _ in range(3):
             t0 = time.time()
             h_tally = pipeline.map_reads(
@@ -546,6 +554,12 @@ def device_run() -> None:
             )
             dt = time.time() - t0
             best_h = dt if best_h is None else min(best_h, dt)
+            t0 = time.time()
+            s_tally = pipeline.map_reads(
+                strong_cfg, index, contig_lengths, None, None
+            )
+            ds = time.time() - t0
+            best_s = ds if best_s is None else min(best_s, ds)
             if dt > 90:
                 break
         hyb = {
@@ -554,15 +568,19 @@ def device_run() -> None:
                 hm.device_reads / max(1, hm.device_reads + hm.host_reads), 2
             ),
             "hybrid_pairs": len(h_tally.pairs),
+            "host_strong_interleaved_reads_per_s": round(n_reads / best_s, 1),
         }
-        if len(h_tally.pairs) != n_pairs:
+        if len(h_tally.pairs) != n_pairs or len(s_tally.pairs) != n_pairs:
             raise AssertionError(
-                f"hybrid tally diverged: {len(h_tally.pairs)} != {n_pairs}"
+                f"tally diverged: hybrid {len(h_tally.pairs)} / host "
+                f"{len(s_tally.pairs)} != {n_pairs}"
             )
         print(
-            f"# hybrid[device+4 host threads]: {n_reads} reads (best of 3) "
-            f"-> {hyb['hybrid_reads_per_s']:.0f} reads/s "
-            f"(device share {hyb['hybrid_device_share']})",
+            f"# hybrid[device+4 host threads]: {n_reads} reads (best of 3, "
+            f"interleaved with host) -> {hyb['hybrid_reads_per_s']:.0f} "
+            f"reads/s (device share {hyb['hybrid_device_share']}) vs "
+            f"interleaved strong host "
+            f"{hyb['host_strong_interleaved_reads_per_s']:.0f} reads/s",
             file=sys.stderr,
         )
     except AssertionError:
@@ -637,24 +655,37 @@ def main():
     strong_cfg = ScaffoldConfig(
         k=K, w=W, z=Z, reads=[reads_fa], backend="numpy", t=4
     )
-    strong_rps = 0.0
-    strong_pairs = 0
-    for _ in range(2):  # best of 2: host load swings
-        t0 = time.time()
-        st = pipeline.map_reads(strong_cfg, index, contig_lengths, None, None)
-        strong_rps = max(strong_rps, len(reads) / (time.time() - t0))
-        strong_pairs = len(st.pairs)
-    print(
-        f"# strong-host baseline (C reader + threaded C sketch/join + "
-        f"C chain, t=4): {len(reads)} reads (best of 2) -> "
-        f"{strong_rps:.0f} reads/s, {strong_pairs} pairs",
-        file=sys.stderr,
-    )
-    if "pairs" in extra and extra["pairs"] != strong_pairs:
-        raise AssertionError(
-            f"device tally diverged from host: {extra['pairs']} "
-            f"!= {strong_pairs}"
+    # baseline of record: the strong-host runs interleaved with the hybrid
+    # runs in the device subprocess (same box load + weather — the honest
+    # comparison). The parent re-measures only when the subprocess didn't
+    # produce one (device unavailable).
+    strong_rps = extra.get("host_strong_interleaved_reads_per_s", 0.0)
+    if strong_rps:
+        print(
+            f"# strong-host baseline (interleaved with hybrid in the "
+            f"device process): {strong_rps:.0f} reads/s",
+            file=sys.stderr,
         )
+    else:
+        strong_pairs = 0
+        for _ in range(2):  # best of 2: host load swings
+            t0 = time.time()
+            st = pipeline.map_reads(
+                strong_cfg, index, contig_lengths, None, None
+            )
+            strong_rps = max(strong_rps, len(reads) / (time.time() - t0))
+            strong_pairs = len(st.pairs)
+        print(
+            f"# strong-host baseline (C reader + threaded C sketch/join + "
+            f"C chain, t=4): {len(reads)} reads (best of 2) -> "
+            f"{strong_rps:.0f} reads/s, {strong_pairs} pairs",
+            file=sys.stderr,
+        )
+        if "pairs" in extra and extra["pairs"] != strong_pairs:
+            raise AssertionError(
+                f"device tally diverged from host: {extra['pairs']} "
+                f"!= {strong_pairs}"
+            )
 
     # weak host leg (round-to-round comparability): single-threaded
     # per-hit Python objects
