@@ -377,11 +377,9 @@ class DeviceMapper:
         # bounds device memory and tunnel queueing (backpressure).
         from .stream_pipeline import (
             DevicePipeline,
-            finish_flat_stream,
-            finish_runs_stream,
+            finish_fused_stream,
             split_n_rows,
-            start_flat_stream,
-            start_runs_stream,
+            start_fused_stream,
         )
 
         def flush_bucket(key: tuple, idxs: List[int]) -> None:
@@ -457,18 +455,13 @@ class DeviceMapper:
             if timing_on:
                 _t("dispatch", t0)
                 t0 = time_mod.perf_counter()
-            # adaptive capped-transfer protocol (shared with the sketch
-            # stream): meta + anchor prefix start streaming now, async.
-            # Runs mode ships ONE object (meta packed in flat row 0).
-            if self.runs_only:
-                sliced = start_runs_stream(
-                    out, self._flat_caps, pad, int(lengths.shape[0]),
-                    stats=self.wire_stats,
-                )
-            else:
-                sliced = start_flat_stream(
-                    out, self._flat_caps, pad, stats=self.wire_stats
-                )
+            # adaptive capped-transfer protocol: the payload prefix (meta
+            # packed in flat row 0 — ONE object, plus the uint16 rpos
+            # stream when present) starts streaming now, async
+            sliced = start_fused_stream(
+                out, self._flat_caps, pad, int(lengths.shape[0]),
+                stats=self.wire_stats,
+            )
             if timing_on:
                 _t("slice_copyasync", t0)
                 t0 = time_mod.perf_counter()
@@ -479,21 +472,22 @@ class DeviceMapper:
         def drain(out, sliced, pad, rows, row_codes, lengths) -> None:
             B = int(lengths.shape[0])
             pack = getattr(self.didx, "t_off", None) is not None
+            t0 = time_mod.perf_counter() if timing_on else 0.0
+            count, n_mins, offs, total, planes, r16 = finish_fused_stream(
+                out, sliced, B, int((lengths > 0).sum()),
+                self._flat_caps, pad, stats=self.wire_stats,
+                floor=512 if self.runs_only else 4096,
+            )
+            if timing_on:
+                _t("drain_flat_wait", t0)
+            slots = int(out["flat"].shape[1]) // B
             if self.runs_only:
-                # O(runs) payload: ONE D2H wait (meta in flat row 0; see
-                # mesh.summarize_runs_device). Decode to the chain.c
-                # run-row layout [cid, count, f_cpos, f_rpos, f_sbits,
-                # l_cpos, l_rpos, l_sbits] once per batch; per-read raws
-                # are row views. slots == RUN_LANES, so n_mins > slots
-                # routes run-lane overflow rows to the exact host path.
-                t0 = time_mod.perf_counter() if timing_on else 0.0
-                count, n_mins, offs, total, planes = finish_runs_stream(
-                    out, sliced, B, int((lengths > 0).sum()),
-                    self._flat_caps, pad, stats=self.wire_stats,
-                )
-                if timing_on:
-                    _t("drain_runs_wait", t0)
-                slots = int(out["flat"].shape[1]) // B
+                # O(runs) payload (see mesh.summarize_runs_device): decode
+                # to the chain.c run-row layout [cid, count, f_cpos,
+                # f_rpos, f_sbits, l_cpos, l_rpos, l_sbits] once per
+                # batch; per-read raws are row views. slots == RUN_LANES,
+                # so n_mins > slots routes run-lane overflow rows to the
+                # exact host path.
                 runs_mat = None
                 if total:
                     if pack:
@@ -527,22 +521,8 @@ class DeviceMapper:
                     o = int(offs[row])
                     results[i] = (n, runs_mat[o : o + n])
                 return
-            t0 = time_mod.perf_counter() if timing_on else 0.0
-            tw = time_mod.perf_counter()
-            meta = np.asarray(out["meta"])
-            self.wire_stats["d2h_s"] += time_mod.perf_counter() - tw
-            if timing_on:
-                _t("drain_meta_wait", t0)
-            count, n_mins = meta[:B], meta[B:]
-            n_planes = int(out["flat"].shape[0])
-            slots = int(out["flat"].shape[1]) // B
-            t0 = time_mod.perf_counter() if timing_on else 0.0
-            offs, total, flat, r16 = finish_flat_stream(
-                out, sliced, count, B, int((lengths > 0).sum()),
-                self._flat_caps, pad, stats=self.wire_stats,
-            )
-            if timing_on:
-                _t("drain_flat_wait", t0)
+            # anchors payload: planes exclude the meta row (row 0 of flat)
+            n_planes = int(out["flat"].shape[0]) - 1
             has_r16 = out.get("r16") is not None
             g0 = 0 if has_r16 else 1  # gpos/cid plane index
             if total:
@@ -551,14 +531,14 @@ class DeviceMapper:
                     rpos_all = (v & 0x3FFF).astype(np.int32)
                     sbits_all = ((v >> 14) & 3).astype(np.int32)
                 else:
-                    rpos_all = flat[0] & 0x1FFFFFFF
-                    sbits_all = (flat[0] >> 29) & 3
+                    rpos_all = planes[0] & 0x1FFFFFFF
+                    sbits_all = (planes[0] >> 29) & 3
                 if pack:  # one gpos plane -> (cid, cpos), batch-level
                     cid_all, cpos_all = self.didx.decode_gpos(
-                        flat[g0, :total]
+                        planes[g0][:total]
                     )
                 else:
-                    cid_all, cpos_all = flat[g0], flat[g0 + 1]
+                    cid_all, cpos_all = planes[g0], planes[g0 + 1]
             hash_base = (1 if pack else 2) + (0 if has_r16 else 1)
             for row, i in rows.items():
                 n = int(count[row])
@@ -570,8 +550,8 @@ class DeviceMapper:
                     continue
                 o = int(offs[row])
                 if n_planes == hash_base + 2:
-                    hi = flat[hash_base, o : o + n]
-                    lo = flat[hash_base + 1, o : o + n]
+                    hi = planes[hash_base][o : o + n]
+                    lo = planes[hash_base + 1][o : o + n]
                 else:
                     hi = lo = np.zeros(n, np.int32)
                 results[i] = (

@@ -736,10 +736,15 @@ def mapping_step_packed(packed, lengths, t_bkt,
         planes += [takef(cid), takef(cpos)]
     if with_hashes:
         planes += [takef(q_hi).astype(jnp.int32), takef(q_lo).astype(jnp.int32)]
-    flat = jnp.stack(planes, axis=0)  # (1..5, B*S) int32
+    # per-row metadata rides as ROW 0 of the flat tensor (2B <= B*S lanes;
+    # the transfer cap never cuts below 2B): one fewer D2H object per
+    # batch — a bare 8 KB meta object costs a fixed ~10-70 ms on a
+    # tunneled link, the same as a whole anchor-plane transfer
+    meta_row = jnp.zeros((B * max_anchors,), jnp.int32).at[: 2 * B].set(
+        jnp.concatenate([count, n_minimizers])
+    )
+    flat = jnp.stack([meta_row] + planes, axis=0)  # (2..6, B*S) int32
     out = {
-        # tiny per-row metadata in one tensor: async-prefetched at dispatch
-        "meta": jnp.concatenate([count, n_minimizers]),
         "flat": flat,
         "n_anchors": found.sum(),
     }

@@ -303,9 +303,14 @@ def make_sharded_index_mapping_step(mesh: Mesh, sidx: ShardedDeviceIndex,
                 takef(q_hi).astype(jnp.int32),
                 takef(q_lo).astype(jnp.int32),
             ]
-        flat = jnp.stack(planes, axis=0)
+        # meta rides as flat row 0 (same one-object drain contract as the
+        # replicated step, parallel.mesh)
+        B = count.shape[0]
+        meta_row = jnp.zeros_like(planes[0]).at[: 2 * B].set(
+            jnp.concatenate([count, n_mins])
+        )
+        flat = jnp.stack([meta_row] + planes, axis=0)
         return {
-            "meta": jnp.concatenate([count, n_mins]),
             "flat": flat,
             "n_anchors": found.sum(),
         }

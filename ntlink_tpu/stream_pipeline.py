@@ -226,32 +226,43 @@ def finish_flat_stream(out, sliced, count, B: int, n_filled: int,
     return offs, total, flat, r16
 
 
-def start_runs_stream(out, caps: dict, key, B: int, stats: dict = None):
-    """Dispatch half of the runs-mode transfer protocol: the step packed
-    its per-read meta into ROW 0 of the flat tensor, so the whole batch
-    drains as ONE D2H object (each separate transfer costs a fixed
-    latency on a tunneled link — it, not bandwidth, bounds the tiny
-    runs-only payload). The cap never cuts into the meta (>= 2B lanes)."""
+def start_fused_stream(out, caps: dict, key, B: int, stats: dict = None):
+    """Dispatch half of the one-object transfer protocol shared by the
+    mapping payloads (anchors and runs modes): the step packed its
+    per-read meta into ROW 0 of the flat tensor, so the whole batch
+    drains as ONE D2H object (plus the optional uint16 rpos stream) —
+    each separate transfer costs a fixed latency on a tunneled link; a
+    bare 8 KB meta object paid the same ~10-70 ms as a full plane. The
+    cap never cuts into the meta (>= 2B lanes)."""
     width = int(out["flat"].shape[1])
     cap = min(width, max(caps.get(key, width // 2), 2 * B))
     sliced = out["flat"][:, :cap]
+    r16 = out.get("r16")
+    sliced16 = r16[:cap] if r16 is not None else None
     if stats is not None:
-        stats["d2h"] = stats.get("d2h", 0) + sliced.nbytes
+        stats["d2h"] = (
+            stats.get("d2h", 0) + sliced.nbytes
+            + (sliced16.nbytes if sliced16 is not None else 0)
+        )
     try:
         sliced.copy_to_host_async()
+        if sliced16 is not None:
+            sliced16.copy_to_host_async()
     except Exception:
         pass
-    return sliced
+    return (sliced, sliced16)
 
 
-def finish_runs_stream(out, sliced, B: int, n_filled: int, caps: dict, key,
-                       stats: dict = None):
-    """Drain half: ONE wait yields meta row + run planes. Returns
-    (count, n_mins, offs, total, planes) with planes None when empty.
-    Cap adaptation mirrors finish_flat_stream (1.3x headroom, quarter-pow2
-    widths, floor 512 — runs volumes are ~10x smaller than anchors')."""
+def finish_fused_stream(out, sliced_pair, B: int, n_filled: int, caps: dict,
+                        key, stats: dict = None, floor: int = 4096):
+    """Drain half: ONE wait yields meta row + payload planes (+ the r16
+    stream when present). Returns (count, n_mins, offs, total, planes,
+    r16) with planes/r16 None when empty/absent. Cap adaptation: 1.3x
+    headroom over this batch's volume, quarter-pow2 widths, `floor`
+    lanes minimum (runs volumes are ~10x smaller than anchors')."""
     import time as _time
 
+    sliced, sliced16 = sliced_pair
     width = int(out["flat"].shape[1])
     tw = _time.perf_counter()
     arr = np.asarray(sliced)
@@ -264,23 +275,32 @@ def finish_runs_stream(out, sliced, B: int, n_filled: int, caps: dict, key,
     scaled = total * B // max(1, n_filled)
     caps[key] = max(
         caps.get(key, 0),
-        min(width, next_q4(max(13 * scaled // 10, 512))),
+        min(width, next_q4(max(13 * scaled // 10, floor))),
     )
     planes = None
+    r16 = None
     if total:
+        tw = _time.perf_counter()
         if total <= int(arr.shape[1]):
             planes = arr[1:]
+            if sliced16 is not None:
+                r16 = np.asarray(sliced16)
         else:  # cap undershot: one corrective round trip
             w2 = min(width, next_q4(total))
-            tw = _time.perf_counter()
             full = np.asarray(out["flat"][:, :w2])
-            if stats is not None:
-                stats["d2h"] = stats.get("d2h", 0) + full.nbytes
-                stats["d2h_s"] = (
-                    stats.get("d2h_s", 0.0) + _time.perf_counter() - tw
-                )
             planes = full[1:]
-    return count, n_mins, offs, total, planes
+            if out.get("r16") is not None:
+                r16 = np.asarray(out["r16"][:w2])
+            if stats is not None:
+                stats["d2h"] = (
+                    stats.get("d2h", 0) + full.nbytes
+                    + (r16.nbytes if r16 is not None else 0)
+                )
+        if stats is not None:
+            stats["d2h_s"] = (
+                stats.get("d2h_s", 0.0) + _time.perf_counter() - tw
+            )
+    return count, n_mins, offs, total, planes, r16
 
 
 def split_n_rows(row_codes: List[np.ndarray], B: int, pad: int):

@@ -80,9 +80,11 @@ def test_mapping_step_plane_layouts_agree(use_gpos):
             t_off=didx.t_off if use_gpos else None,
         )
     )(jnp.asarray(pack_codes(codes)), jnp.asarray(lengths))
-    flat = np.asarray(out["flat"])
-    meta = np.asarray(out["meta"])
-    count = meta[: codes.shape[0]]
+    # meta (per-row counts | n_minimizers) rides as flat row 0 so the
+    # batch drains as one D2H object; payload planes follow
+    full = np.asarray(out["flat"])
+    count = full[0, : codes.shape[0]]
+    flat = full[1:]
     total = int(count.sum())
     assert total >= len(mins)  # row 0 is the indexed sequence itself
     # pads <= 16384 ship read positions as the separate uint16 stream

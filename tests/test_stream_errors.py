@@ -63,19 +63,24 @@ def test_drainer_error_propagates(small_index, monkeypatch):
 
         def step(packed, lengths, didx):
             out = dict(real(packed, lengths, didx))
-            out["meta"] = _Poison(out["meta"])
+            out["flat"] = _Poison(out["flat"])
             return out
 
         return step
 
     class _Poison:
         """Array wrapper whose host materialization fails (as a dropped
-        tunnel connection would at the drainer's np.asarray wait)."""
+        tunnel connection would at the drainer's np.asarray wait).
+        Slicing propagates the poison (the dispatch-side cap slice runs
+        before any transfer)."""
 
         def __init__(self, inner):
             self._inner = inner
             self.shape = inner.shape
             self.nbytes = inner.nbytes  # wire-byte accounting reads this
+
+        def __getitem__(self, key):
+            return _Poison(self._inner[key])
 
         def copy_to_host_async(self):
             pass
